@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * The reference (SymbioticLab/Sol, a Spark 2.4 fork) changes execution
+  * *policy* — pipelined scheduling, pre-post stage submission, proactive
+  * push-based shuffle, fetch/compute decoupling (see SURVEY.md §0.1,
+  * reference `core/.../scheduler/DAGScheduler.scala:190-238`,
+  * `core/.../executor/Executor.scala:192-460`) — not query semantics.
+  * On Spark 4.x the same goals are served by built-in mechanisms, which we
+  * turn on here: AQE (runtime re-planning ≈ elastic queue adaptation),
+  * skew-join splitting, partition coalescing. Push-based shuffle
+  * (`spark.shuffle.push.enabled`) is the upstreamed analog of Sol's
+  * proactive push; it only applies with an external shuffle service on YARN,
+  * so it is documented here and left to cluster deploy config.
+  *
+  * Scale notes (100 TB): `shufflePartitions` is the *initial* partition
+  * count; AQE coalesces/splits at runtime. On a real cluster set it to
+  * 2-3× total executor cores (e.g. 8000-12000 for 1000 executors × 4 cores);
+  * locally the driver contract pins 32.
+  */
+object Engine {
+  val DefaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(
+      appName: String = "graft",
+      master: String = s"local[$DefaultCpus]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet carries INT64 TIMESTAMP(NANOS); expose as raw nanos
+      // (Tables derives a µs TIMESTAMP view column from it).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def session(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

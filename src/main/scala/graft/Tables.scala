@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loads the driver-provided parquet tables (TESTDATA.md / FIXTURES.md) and
+  * registers them as temp views. Spark-first: plain `spark.read.parquet`
+  * scans keep column pruning and filter pushdown available to Catalyst
+  * (verify with `.explain("formatted")` → `PushedFilters` / `ReadSchema`).
+  */
+object Tables {
+  /** (SparkSession, scale-factor dir) => result — the driver's query shape. */
+  type QFn = (SparkSession, String) => DataFrame
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.ts is physically INT64 TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong` Spark reads it as a nanos-since-
+    * epoch long. We expose `ts` as a microsecond TIMESTAMP (truncating —
+    * exactly what DuckDB does when it reads the same file) and keep the raw
+    * nanos as `ts_ns` for total ordering.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType.typeName == "long")
+      df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        .select(col("event_id"), col("ts"), col("ts_ns"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+    else df
+  }
+
+  /** Registers every table as a temp view named after its file. Idempotent. */
+  def register(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Deterministic-aggregation helpers.
+  *
+  * Distributed double sums are merge-order-dependent; at 100 TB the partial
+  * merge order is never stable run-to-run. The fixture money/quantity
+  * columns carry ≤2 decimal digits, so casting each value to DECIMAL before
+  * summing is lossless, the decimal sum is exact under ANY partitioning, and
+  * the final cast back to DOUBLE is bit-identical to the DuckDB oracle's
+  * same computation. This is also the right call at scale: Spark's decimal
+  * sum stays in whole-stage codegen with partial (map-side) aggregation.
+  */
+object Exact {
+  /** Exact sum of a fixed-point double column, returned as DOUBLE. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** Deterministic average = exact sum / count (single double division). */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(c)
+
+  /** Oracle-side SQL fragment mirroring [[dsum]]. */
+  def dsumSql(e: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(28,$scale))) AS DOUBLE)"
+
+  def davgSql(e: String, scale: Int = 4): String =
+    s"${dsumSql(e, scale)} / COUNT($e)"
+}
