@@ -27,7 +27,7 @@ object Engine {
   def builder(
       appName: String = "graft",
       master: String = s"local[$DefaultCpus]",
-      shufflePartitions: Int = 32): SparkSession.Builder =
+      shufflePartitions: Int = DefaultCpus.toInt): SparkSession.Builder =
     SparkSession
       .builder()
       .appName(appName)

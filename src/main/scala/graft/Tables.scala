@@ -26,7 +26,11 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType.typeName == "long")
       df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        // floor-division (not `div`, which truncates toward zero) so a
+        // hypothetical pre-epoch nanos value still floors like DuckDB's
+        // ns->us read-time conversion of the same file.
+        .withColumn("ts",
+          timestamp_micros(expr("(ts_ns - pmod(ts_ns, 1000)) div 1000")))
         .select(col("event_id"), col("ts"), col("ts_ns"), col("user_id"),
           col("event_type"), col("value"), col("props"))
     else df

@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.{Exact, QDef, QModule}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation surface (SURVEY.md §2.4: HashAggregateExec two-phase plans,
+  * distinct-aggregate rewrite, cube/rollup/grouping-sets via Expand, pivot,
+  * exact & approximate percentiles, typed Aggregator).
+  *
+  * Scale notes: every query here is a plain groupBy over declarative
+  * expressions, so Catalyst plans partial (map-side) aggregation before the
+  * shuffle and AQE coalesces the post-shuffle partitions; nothing collects
+  * to the driver. Double-typed outputs go through the exact-decimal pattern
+  * ([[graft.Exact]]) so results are identical under any partitioning —
+  * a requirement once partial-merge order becomes nondeterministic on a
+  * 1000-executor cluster.
+  */
+object Agg extends QModule {
+
+  private val sumDiscPrice =
+    sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+      .cast("double")
+  private val sumDiscPriceSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+
+  val qAggBasic = QDef(
+    "q_agg_basic",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice")).as("sum_base"),
+          sumDiscPrice.as("sum_disc_price"),
+          Exact.davg(col("l_quantity")).as("avg_qty"),
+          Exact.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("cnt")),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${Exact.dsumSql("l_quantity")} AS sum_qty,
+        ${Exact.dsumSql("l_extendedprice")} AS sum_base,
+        $sumDiscPriceSql AS sum_disc_price,
+        ${Exact.davgSql("l_quantity")} AS avg_qty,
+        ${Exact.davgSql("l_discount")} AS avg_disc,
+        COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  val qAggDistinct = QDef(
+    "q_agg_distinct",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_suppkey")).as("supp_d"),
+          countDistinct(col("l_partkey")).as("part_d"),
+          countDistinct(col("l_suppkey"), col("l_partkey")).as("sp_d"),
+          count(lit(1)).as("cnt")),
+    Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_suppkey) AS supp_d,
+        COUNT(DISTINCT l_partkey) AS part_d,
+        COUNT(DISTINCT (l_suppkey, l_partkey)) AS sp_d,
+        COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag"""),
+    bench = true)
+
+  val qAggMinMax = QDef(
+    "q_agg_minmax",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          // parquet ms-timestamps read as TIMESTAMP_NTZ; cast to session-UTC
+          // TIMESTAMP so unix_micros applies (same numbers as DuckDB's
+          // epoch_us over the naive value).
+          unix_micros(min(col("l_shipdate")).cast("timestamp")).as("min_ship_us"),
+          unix_micros(max(col("l_shipdate")).cast("timestamp")).as("max_ship_us")),
+    Some("""
+      SELECT l_returnflag,
+        MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        epoch_us(MIN(l_shipdate)) AS min_ship_us,
+        epoch_us(MAX(l_shipdate)) AS max_ship_us
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  val qAggCube = QDef(
+    "q_agg_cube",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+          col("cnt"), col("sum_qty")),
+    Some(s"""
+      SELECT coalesce(l_returnflag, '(all)') AS rflag,
+             coalesce(l_linestatus, '(all)') AS lstatus,
+             COUNT(*) AS cnt, ${Exact.dsumSql("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""),
+    bench = true)
+
+  val qAggRollup = QDef(
+    "q_agg_rollup",
+    (s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("prio"),
+          col("cnt"), col("sum_price")),
+    Some(s"""
+      SELECT coalesce(o_orderstatus, '(all)') AS status,
+             coalesce(o_orderpriority, '(all)') AS prio,
+             COUNT(*) AS cnt, ${Exact.dsumSql("o_totalprice")} AS sum_price
+      FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""))
+
+  // Same SQL text runs in both engines (GROUPING SETS is ANSI).
+  private val gsetsSql = """
+      SELECT coalesce(l_returnflag, '(all)') AS rflag,
+             coalesce(l_linestatus, '(all)') AS lstatus,
+             COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+  val qAggGsets = QDef("q_agg_gsets", sqlQ(gsetsSql), Some(gsetsSql))
+
+  val qAggPivot = QDef(
+    "q_agg_pivot",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(Exact.dsum(col("l_quantity"))),
+    Some(s"""
+      SELECT l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS "A",
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS "N",
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS "R"
+      FROM lineitem GROUP BY l_linestatus"""))
+
+  /** Deterministic moments: exact decimal power sums, then an identical
+    * double-expression tree on both sides (SURVEY §2.4 CentralMomentAgg
+    * parity without float merge-order nondeterminism).
+    */
+  val qAggStats = QDef(
+    "q_agg_stats",
+    (s, d) => {
+      val q = col("l_quantity")
+      val g = t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(q).as("cnt"),
+          Exact.dsum(q).as("s"),
+          sum(q.cast(DecimalType(12, 2)) * q.cast(DecimalType(12, 2)))
+            .cast("double").as("s2"))
+      val vexp = (col("s2") - col("s") * col("s") / col("cnt")) / (col("cnt") - lit(1))
+      g.select(
+        col("l_returnflag"), col("cnt"),
+        (col("s") / col("cnt")).as("mean_qty"),
+        vexp.as("var_qty"),
+        sqrt(vexp).as("std_qty"))
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT l_returnflag, COUNT(l_quantity) AS cnt,
+          ${Exact.dsumSql("l_quantity")} AS s,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, cnt, s / cnt AS mean_qty,
+        (s2 - s * s / cnt) / (cnt - 1) AS var_qty,
+        sqrt((s2 - s * s / cnt) / (cnt - 1)) AS std_qty
+      FROM g"""))
+
+  val qAggCollect = QDef(
+    "q_agg_collect",
+    (s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("cnt"),
+          array_join(array_sort(collect_set(col("source"))), ",").as("sources")),
+    Some("""
+      SELECT lang, COUNT(*) AS cnt,
+             string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+      FROM documents GROUP BY lang"""))
+
+  val qAggPercentile = QDef(
+    "q_agg_percentile",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90")),
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS p50,
+             quantile_cont(l_quantity, 0.9) AS p90
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Sketch aggregates (HLL++, approx percentile — SURVEY §2.4). DuckDB's
+    * approximations use different algorithms, so no value oracle exists;
+    * the driver records a rows-only check and the ScalaTest spec bounds the
+    * error vs exact counts.
+    */
+  val qAggApprox = QDef(
+    "q_agg_approx",
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("apx_parts"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("apx_p50")),
+    None)
+
+  val defs: Seq[QDef] = Seq(
+    qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
+    qAggPivot, qAggStats, qAggCollect, qAggPercentile, qAggApprox)
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{QDef, QModule}
+import org.apache.spark.sql.functions._
+
+/** Set-operation surface (SURVEY.md §2.7): UNION [ALL], INTERSECT [ALL],
+  * EXCEPT [ALL], DISTINCT. Catalyst rewrites these to aggregates and
+  * semi/anti joins (ReplaceIntersectWithSemiJoin etc.), so at scale they
+  * cost one shuffle on the full row — we keep projections narrow first.
+  */
+object SetOps extends QModule {
+
+  private def custKeys(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "customer").select(col("c_nationkey").as("n_key"))
+  private def suppKeys(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "supplier").select(col("s_nationkey").as("n_key"))
+
+  val qSetUnion = QDef(
+    "q_set_union",
+    (s, d) => custKeys(s, d).union(suppKeys(s, d)).distinct(),
+    Some("""
+      SELECT c_nationkey AS n_key FROM customer
+      UNION
+      SELECT s_nationkey FROM supplier"""))
+
+  val qSetUnionAll = QDef(
+    "q_set_unionall",
+    (s, d) => custKeys(s, d).union(suppKeys(s, d)).groupBy("n_key")
+      .agg(count(lit(1)).as("cnt")),
+    Some("""
+      SELECT n_key, COUNT(*) AS cnt FROM (
+        SELECT c_nationkey AS n_key FROM customer
+        UNION ALL
+        SELECT s_nationkey FROM supplier)
+      GROUP BY n_key"""))
+
+  val qSetIntersect = QDef(
+    "q_set_intersect",
+    (s, d) => custKeys(s, d).intersect(suppKeys(s, d)),
+    Some("""
+      SELECT c_nationkey AS n_key FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier"""))
+
+  val qSetExcept = QDef(
+    "q_set_except",
+    (s, d) => custKeys(s, d).except(suppKeys(s, d)),
+    Some("""
+      SELECT c_nationkey AS n_key FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier"""))
+
+  /** Multiset semantics: EXCEPT ALL keeps surplus multiplicities. */
+  val qSetExceptAll = QDef(
+    "q_set_exceptall",
+    (s, d) => custKeys(s, d).exceptAll(suppKeys(s, d)).groupBy("n_key")
+      .agg(count(lit(1)).as("cnt")),
+    Some("""
+      SELECT n_key, COUNT(*) AS cnt FROM (
+        SELECT c_nationkey AS n_key FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier)
+      GROUP BY n_key"""))
+
+  val qSetIntersectAll = QDef(
+    "q_set_intersectall",
+    (s, d) => custKeys(s, d).intersectAll(suppKeys(s, d)).groupBy("n_key")
+      .agg(count(lit(1)).as("cnt")),
+    Some("""
+      SELECT n_key, COUNT(*) AS cnt FROM (
+        SELECT c_nationkey AS n_key FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier)
+      GROUP BY n_key"""))
+
+  /** distinct() over a multi-column projection (ReplaceDistinctWithAggregate). */
+  val qSetDistinct = QDef(
+    "q_set_distinct",
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct(),
+    Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"))
+
+  /** Top-k with a total-order tiebreak (TakeOrderedAndProjectExec:
+    * per-partition top-k, then a driver-side merge of k·partitions rows —
+    * the scalable pattern for ORDER BY + LIMIT).
+    */
+  val qSortTopk = QDef(
+    "q_sort_topk",
+    (s, d) => t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(15),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"""),
+    bench = true)
+
+  val qSortOffset = QDef(
+    "q_sort_offset",
+    (s, d) => t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .offset(10).limit(10),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10"""))
+
+  val defs: Seq[QDef] = Seq(
+    qSetUnion, qSetUnionAll, qSetIntersect, qSetExcept, qSetExceptAll,
+    qSetIntersectAll, qSetDistinct, qSortTopk, qSortOffset)
+}

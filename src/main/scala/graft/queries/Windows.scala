@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{QDef, QModule}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function surface (SURVEY.md §2.5: WindowExec frame variants,
+  * ranking, offset, aggregate-over-window). Every ordering that feeds a
+  * row-addressed function (row_number, lag, running sum) is made total with
+  * a key tiebreak, so results are deterministic under any partitioning;
+  * rank/dense_rank/percent_rank/cume_dist keep value-only orderings to
+  * exercise tie semantics (which are order-insensitive by definition).
+  */
+object Windows extends QModule {
+
+  val qWinRank = QDef(
+    "q_win_rank",
+    (s, d) => {
+      val byBal = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+      val total = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        rank().over(byBal).as("rnk"),
+        dense_rank().over(byBal).as("drnk"),
+        row_number().over(total).as("rn"))
+    },
+    Some("""
+      SELECT c_custkey, c_nationkey,
+        CAST(rank() OVER w1 AS INTEGER) AS rnk,
+        CAST(dense_rank() OVER w1 AS INTEGER) AS drnk,
+        CAST(row_number() OVER w2 AS INTEGER) AS rn
+      FROM customer
+      WINDOW w1 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC),
+             w2 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)"""),
+    bench = true)
+
+  val qWinLagLead = QDef(
+    "q_win_laglead",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_totalprice, 1) OVER w AS next_price,
+        o_totalprice - lag(o_totalprice, 1) OVER w AS delta
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""))
+
+  /** Running sum, ROWS frame, exact decimal accumulation. */
+  val qWinRunsum = QDef(
+    "q_win_runsum",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w)
+          .cast("double").as("run_spend"))
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+          (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+      FROM orders"""),
+    bench = true)
+
+  /** RANGE frame over a numeric (epoch-micros) ordering: trailing-7-day
+    * order count/value per priority class.
+    */
+  private val range7Sql = (tsExpr: String) => s"""
+      SELECT o_orderkey,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS spend_7d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY $tsExpr
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"""
+  val qWinRange = QDef(
+    "q_win_range",
+    sqlQ(range7Sql("unix_micros(CAST(o_orderdate AS TIMESTAMP))")),
+    Some(range7Sql("epoch_us(o_orderdate)")))
+
+  val qWinNtile = QDef(
+    "q_win_ntile",
+    (s, d) => {
+      val total = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      val byBal = Window.orderBy(col("c_acctbal"))
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        ntile(4).over(total).as("quartile"),
+        percent_rank().over(byBal).as("pr"),
+        cume_dist().over(byBal).as("cd"))
+    },
+    Some("""
+      SELECT c_custkey,
+        CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile,
+        percent_rank() OVER (ORDER BY c_acctbal) AS pr,
+        cume_dist() OVER (ORDER BY c_acctbal) AS cd
+      FROM customer"""))
+
+  /** Keep-latest-per-key dedup via row_number (the window-dedup idiom). */
+  val qWinLatest = QDef(
+    "q_win_latest",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("latest_order"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey AS latest_order FROM (
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1"""))
+
+  val defs: Seq[QDef] = Seq(
+    qWinRank, qWinLagLead, qWinRunsum, qWinRange, qWinNtile, qWinLatest)
+}
