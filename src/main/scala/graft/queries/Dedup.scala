@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{QDef, QModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (builder brief):
+  * exact, normalized-fingerprint, MinHash+LSH near-dup candidates, SimHash,
+  * and n-gram Jaccard verification of LSH candidates.
+  *
+  * Scale design (100 TB):
+  *  - Exact/fingerprint dedup: hash-groupBy on the digest — one shuffle of
+  *    (digest, id), never of full text.
+  *  - MinHash: 16 mins computed as ONE groupBy with 16 min-aggregates over
+  *    the exploded shingle stream — map-side combinable, so the shuffle
+  *    carries one 16-column row per document, not per shingle.
+  *  - LSH banding: 4 bands × 4 rows; candidate join is an equi-join on
+  *    (band, bucket) — only same-bucket docs ever meet, which is the whole
+  *    point vs. the O(n²) all-pairs join.
+  *  - Jaccard verify runs on LSH candidates only, so the expensive
+  *    shingle-set intersection is bounded by the candidate count.
+  *
+  * The digest chain (md5 strings, lexicographic mins) is engine-neutral,
+  * which is what makes a DuckDB value-oracle possible for LSH.
+  */
+object Dedup extends QModule {
+
+  val qDedupExact = QDef(
+    "q_dedup_exact",
+    (s, d) => t(s, d, "documents")
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+      .select("keep_id", "copies"),
+    Some("""
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
+      FROM documents GROUP BY text"""))
+
+  val qDedupNorm = QDef(
+    "q_dedup_norm",
+    (s, d) => t(s, d, "documents")
+      .withColumn("fp", md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+      .select("keep_id", "copies"),
+    Some("""
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS copies
+      FROM (SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents)
+      GROUP BY fp"""))
+
+  // ---------------------------------------------------------------- MinHash
+
+  private val H = 16 // minhash functions
+  private val BANDS = 4 // 4 bands x 4 rows
+
+  /** doc_id, s — one row per 3-word shingle. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> " +
+          "concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))")).as("s"))
+
+  private val shinglesSqlDuck = """
+      ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             WHERE len(string_split(text, ' ')) >= 3),
+      ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM ws),
+      sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM ix)"""
+
+  /** doc_id, mh0..mh15 — one row per doc. */
+  private def minhash(s: SparkSession, d: String): DataFrame = {
+    val aggs = (0 until H).map(j => min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))
+    shingles(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val minhashSqlDuck = {
+    val mins = (0 until H).map(j => s"min(md5('$j|' || s)) AS mh$j").mkString(", ")
+    s"mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  /** doc_id, band, bucket. */
+  private def bands(s: SparkSession, d: String): DataFrame = {
+    val entries = (0 until BANDS).map { b =>
+      val cols = (0 until H / BANDS).map(k => s"mh${b * (H / BANDS) + k}").mkString(", ")
+      s"$b, md5(concat_ws('|', $cols))"
+    }.mkString(", ")
+    minhash(s, d).selectExpr("doc_id", s"stack($BANDS, $entries) AS (band, bucket)")
+  }
+
+  private val bandsSqlDuck = {
+    val parts = (0 until BANDS).map { b =>
+      val cat = (0 until H / BANDS).map(k => s"mh${b * (H / BANDS) + k}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM mh"
+    }.mkString(" UNION ALL ")
+    s"bands AS ($parts)"
+  }
+
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val x = bands(s, d).select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+    val y = bands(s, d).select(col("doc_id").as("b_id"), col("band").as("band2"), col("bucket").as("bucket2"))
+    x.join(y, x("band") === y("band2") && x("bucket") === y("bucket2") && x("a_id") < y("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  private val candSqlDuck = """
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+               FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+  val qDedupMinhash = QDef(
+    "q_dedup_minhash",
+    (s, d) => candidatePairs(s, d),
+    Some(s"""
+      WITH $shinglesSqlDuck, $minhashSqlDuck, $bandsSqlDuck, $candSqlDuck
+      SELECT a_id, b_id FROM cand"""),
+    bench = true)
+
+  /** Exact 3-gram Jaccard over the LSH candidates (verify step of the
+    * near-dup pipeline): |A∩B| / |A∪B| on distinct-shingle sets.
+    */
+  val qDedupJaccard = QDef(
+    "q_dedup_jaccard",
+    (s, d) => {
+      val sd = shingles(s, d).distinct()
+      val sizes = sd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val sa = sd.select(col("doc_id").as("sa_id"), col("s").as("sa_s"))
+      val sb = sd.select(col("doc_id").as("sb_id"), col("s").as("sb_s"))
+      val inter = candidatePairs(s, d)
+        .join(sa, col("a_id") === col("sa_id"))
+        .join(sb, col("b_id") === col("sb_id") && col("sa_s") === col("sb_s"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      val za = sizes.select(col("doc_id").as("za_id"), col("nsh").as("na"))
+      val zb = sizes.select(col("doc_id").as("zb_id"), col("nsh").as("nb"))
+      inter
+        .join(za, col("a_id") === col("za_id"))
+        .join(zb, col("b_id") === col("zb_id"))
+        .select(col("a_id"), col("b_id"),
+          (col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
+        .filter(col("jac") >= 0.5)
+    },
+    Some(s"""
+      WITH $shinglesSqlDuck, $minhashSqlDuck, $bandsSqlDuck, $candSqlDuck,
+      sdist AS (SELECT DISTINCT doc_id, s FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS nsh FROM sdist GROUP BY doc_id),
+      inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+                FROM cand c
+                JOIN sdist sa ON sa.doc_id = c.a_id
+                JOIN sdist sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+                GROUP BY c.a_id, c.b_id)
+      SELECT i.a_id, i.b_id,
+             i.inter / (za.nsh + zb.nsh - i.inter) AS jac
+      FROM inter i JOIN sz za ON za.doc_id = i.a_id
+                   JOIN sz zb ON zb.doc_id = i.b_id
+      WHERE i.inter / (za.nsh + zb.nsh - i.inter) >= 0.5"""))
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 16-bit SimHash over the word stream: bit i of each word's md5 votes
+    * ±1; the sign vector re-packs into an integer. Expression strings are
+    * generated once per dialect from the same template, so the oracle is
+    * structurally identical.
+    */
+  private def simhashSql(dialect: String): String = {
+    def hexVal(i: Int): String = {
+      val idx = i / 4 + 1
+      val pos = dialect match {
+        case "spark" => s"instr('0123456789abcdef', substring(md5(w), $idx, 1))"
+        case _       => s"strpos('0123456789abcdef', substring(md5(w), $idx, 1))"
+      }
+      s"($pos - 1)"
+    }
+    def bit(i: Int): String = {
+      val div = dialect match { case "spark" => "div"; case _ => "//" }
+      s"((${hexVal(i)} $div ${1 << (i % 4)}) % 2)"
+    }
+    val sums = (0 until H).map(i => s"SUM(2 * ${bit(i)} - 1) AS s$i").mkString(", ")
+    val pack = (0 until H).map(i => s"(CASE WHEN s$i >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+    val wordsRel = dialect match {
+      case "spark" => "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
+      case _       => "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
+    }
+    s"""
+      SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM (
+        SELECT doc_id, $sums FROM ($wordsRel) GROUP BY doc_id)"""
+  }
+
+  val qDedupSimhash = QDef(
+    "q_dedup_simhash",
+    sqlQ(simhashSql("spark")),
+    Some(simhashSql("duck")),
+    bench = true)
+
+  val defs: Seq[QDef] = Seq(
+    qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash)
+}

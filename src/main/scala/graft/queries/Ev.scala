@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{Exact, QDef, QModule}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing over the `events` table — the batch expression of
+  * the Structured Streaming operator set (SURVEY.md §2.9): tumbling and
+  * sliding `window()`, `session_window()`, first-per-key dedup. The same
+  * `TimeWindow`/`SessionWindow` expressions power the streaming module
+  * (graft.streaming.Streams); batch mode gives them a DuckDB oracle, and
+  * the streaming specs assert stream-equals-batch on the same input.
+  *
+  * Scale: window() is a per-row projection (no shuffle beyond the
+  * downstream groupBy); session_window shuffles once on the session key —
+  * exactly the plan you want at 100 TB.
+  */
+object Ev extends QModule {
+
+  val qEvTumbling = QDef(
+    "q_ev_tumbling",
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value"), 2).as("total"))
+      .select(
+        unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("cnt"), col("total")),
+    Some(s"""
+      SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us,
+             event_type, COUNT(*) AS cnt,
+             ${Exact.dsumSql("value", 2)} AS total
+      FROM events GROUP BY 1, 2"""),
+    bench = true)
+
+  /** Sliding 1h window, 30-min slide: each event lands in two windows
+    * whose starts are the two 30-min-aligned bucket offsets.
+    */
+  val qEvSliding = QDef(
+    "q_ev_sliding",
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("cnt")),
+    Some("""
+      SELECT ws_us, COUNT(*) AS cnt FROM (
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us FROM events
+        UNION ALL
+        SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')) AS ws_us FROM events)
+      GROUP BY ws_us"""),
+    bench = true)
+
+  /** Session windows (30-min gap) per user. Spark merges events whose gap
+    * is strictly under the timeout; the oracle's gaps-and-islands uses the
+    * matching strict `<`.
+    */
+  val qEvSession = QDef(
+    "q_ev_session",
+    (s, d) => t(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value"), 2).as("total"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("ss_us"),
+        col("cnt"), col("total")),
+    Some(s"""
+      WITH x AS (
+        SELECT user_id, ts, value,
+          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+        FROM events),
+      y AS (
+        SELECT user_id, ts, value,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x)
+      SELECT user_id, epoch_us(MIN(ts)) AS ss_us, COUNT(*) AS cnt,
+             ${Exact.dsumSql("value", 2)} AS total
+      FROM y GROUP BY user_id, sid"""),
+    bench = true)
+
+  /** First event per (user, type): dedup-keep-earliest as one aggregate
+    * (min over a (time, id) struct = deterministic argmin, map-side
+    * combinable — no window shuffle needed).
+    */
+  val qEvFirst = QDef(
+    "q_ev_first",
+    (s, d) => t(s, d, "events")
+      .groupBy("user_id", "event_type")
+      .agg(min(struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"))).as("m"))
+      .select(
+        col("user_id"), col("event_type"),
+        col("m.us").as("first_us"), col("m.eid").as("first_id")),
+    Some("""
+      SELECT user_id, event_type,
+        MIN(epoch_us(ts)) AS first_us,
+        (list(event_id ORDER BY epoch_us(ts), event_id))[1] AS first_id
+      FROM events GROUP BY user_id, event_type"""))
+
+  val defs: Seq[QDef] = Seq(qEvTumbling, qEvSliding, qEvSession, qEvFirst)
+}

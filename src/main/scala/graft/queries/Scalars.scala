@@ -1,0 +1,240 @@
+package graft.queries
+
+import graft.{QDef, QModule}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.8 FunctionRegistry families:
+  * string, math, datetime, conditional, regexp, json, hash, array,
+  * generators). One query per family projects a battery of functions over
+  * a whole table keyed by its primary key, so the oracle compare checks
+  * every row. All functions are codegen'd builtins — no UDFs in the hot
+  * path (transcendentals whose last-ulp differs across libm live in the
+  * ScalaTest spec instead of the oracle set).
+  *
+  * DuckDB's wider result types (BIGINT length/strpos, DOUBLE floor) are
+  * cast on the oracle side to Spark's (INT/LONG) — see QDef notes.
+  */
+object Scalars extends QModule {
+
+  val qFnString = QDef(
+    "q_fn_string",
+    (s, d) => t(s, d, "part").selectExpr(
+      "p_partkey",
+      "upper(p_type) AS up",
+      "lower(p_brand) AS lo",
+      "length(p_name) AS len",
+      "substring(p_name, 3, 8) AS sub",
+      "concat_ws('|', p_brand, p_type) AS cat",
+      "lpad(p_brand, 12, '*') AS lp",
+      "rpad(p_brand, 12, '*') AS rp",
+      "replace(p_type, ' ', '_') AS repl",
+      "reverse(p_brand) AS rev",
+      "translate(p_brand, '#', '-') AS tr",
+      "left(p_name, 5) AS l5",
+      "right(p_name, 5) AS r5",
+      "split_part(p_name, ' ', 1) AS w1",
+      "instr(p_name, 'a') AS pos_a",
+      "ascii(p_name) AS asc1",
+      "levenshtein(p_brand, 'Brand#11') AS lev",
+      "startswith(p_type, 'STANDARD') AS st",
+      "contains(p_name, 'blue') AS has_blue",
+      "repeat(p_brand, 2) AS rep2",
+      "trim(BOTH '#' FROM p_brand) AS trm"),
+    Some("""
+      SELECT p_partkey,
+        upper(p_type) AS up,
+        lower(p_brand) AS lo,
+        CAST(length(p_name) AS INTEGER) AS len,
+        substring(p_name, 3, 8) AS sub,
+        concat_ws('|', p_brand, p_type) AS cat,
+        lpad(p_brand, 12, '*') AS lp,
+        rpad(p_brand, 12, '*') AS rp,
+        replace(p_type, ' ', '_') AS repl,
+        reverse(p_brand) AS rev,
+        translate(p_brand, '#', '-') AS tr,
+        left(p_name, 5) AS l5,
+        right(p_name, 5) AS r5,
+        split_part(p_name, ' ', 1) AS w1,
+        CAST(strpos(p_name, 'a') AS INTEGER) AS pos_a,
+        CAST(ascii(p_name) AS INTEGER) AS asc1,
+        CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS lev,
+        starts_with(p_type, 'STANDARD') AS st,
+        contains(p_name, 'blue') AS has_blue,
+        repeat(p_brand, 2) AS rep2,
+        trim(BOTH '#' FROM p_brand) AS trm
+      FROM part"""))
+
+  val qFnMath = QDef(
+    "q_fn_math",
+    (s, d) => t(s, d, "lineitem").selectExpr(
+      "l_orderkey", "l_linenumber",
+      "abs(l_quantity - 25.0) AS dist25",
+      "CAST(signum(l_quantity - 25.0) AS DOUBLE) AS sgn",
+      "floor(l_extendedprice) AS flr",
+      "ceil(l_extendedprice) AS cl",
+      "sqrt(l_extendedprice) AS sq",
+      "round(l_quantity) AS rnd",
+      "pmod(l_orderkey, 7) AS pm7",
+      "l_quantity * l_quantity AS qty2",
+      "greatest(l_tax, l_discount) AS gr",
+      "least(l_tax, l_discount) AS ls",
+      "l_orderkey & 255 AS band",
+      "shiftleft(l_linenumber, 2) AS shl",
+      "hex(l_orderkey) AS hx"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        abs(l_quantity - 25.0) AS dist25,
+        CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sgn,
+        CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+        CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+        sqrt(l_extendedprice) AS sq,
+        round(l_quantity) AS rnd,
+        l_orderkey % 7 AS pm7,
+        l_quantity * l_quantity AS qty2,
+        greatest(l_tax, l_discount) AS gr,
+        least(l_tax, l_discount) AS ls,
+        l_orderkey & 255 AS band,
+        CAST(l_linenumber << 2 AS INTEGER) AS shl,
+        hex(l_orderkey) AS hx
+      FROM lineitem"""))
+
+  val qFnDatetime = QDef(
+    "q_fn_datetime",
+    (s, d) => t(s, d, "orders").selectExpr(
+      "o_orderkey",
+      "year(o_orderdate) AS yr",
+      "month(o_orderdate) AS mo",
+      "dayofmonth(o_orderdate) AS dom",
+      "dayofweek(o_orderdate) AS dow",
+      "dayofyear(o_orderdate) AS doy",
+      "weekofyear(o_orderdate) AS wk",
+      "quarter(o_orderdate) AS qtr",
+      "unix_micros(date_trunc('month', CAST(o_orderdate AS TIMESTAMP))) AS mo_start_us",
+      "last_day(CAST(o_orderdate AS DATE)) AS eom",
+      "date_add(CAST(o_orderdate AS DATE), 30) AS d30",
+      "datediff(DATE'2024-06-01', CAST(o_orderdate AS DATE)) AS dd",
+      "date_format(o_orderdate, 'yyyy-MM') AS ym",
+      "make_date(year(o_orderdate), month(o_orderdate), 1) AS som",
+      "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS od_us"),
+    Some("""
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INTEGER) AS yr,
+        CAST(month(o_orderdate) AS INTEGER) AS mo,
+        CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+        CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        CAST(weekofyear(o_orderdate) AS INTEGER) AS wk,
+        CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        epoch_us(date_trunc('month', o_orderdate)) AS mo_start_us,
+        last_day(o_orderdate) AS eom,
+        CAST(o_orderdate AS DATE) + 30 AS d30,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-06-01') AS INTEGER) AS dd,
+        strftime(o_orderdate, '%Y-%m') AS ym,
+        make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS som,
+        epoch_us(o_orderdate) AS od_us
+      FROM orders"""))
+
+  val qFnCond = QDef(
+    "q_fn_cond",
+    (s, d) => t(s, d, "customer").selectExpr(
+      "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket",
+      "coalesce(nullif(c_mktsegment, 'BUILDING'), '-') AS seg2",
+      "if(c_acctbal < 0, 'neg', 'pos') AS iff")
+      .groupBy("bucket", "seg2", "iff").agg(count(lit(1)).as("cnt")),
+    Some("""
+      SELECT bucket, seg2, iff, COUNT(*) AS cnt FROM (
+        SELECT
+          CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+          coalesce(nullif(c_mktsegment, 'BUILDING'), '-') AS seg2,
+          IF(c_acctbal < 0, 'neg', 'pos') AS iff
+        FROM customer)
+      GROUP BY bucket, seg2, iff"""))
+
+  val qFnRegex = QDef(
+    "q_fn_regex",
+    (s, d) => t(s, d, "events").selectExpr(
+      "event_id",
+      """CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS kint""",
+      "regexp_replace(event_type, '[aeiou]', '') AS novowel",
+      "event_type RLIKE '^(c|p)' AS m"),
+    Some("""
+      SELECT event_id,
+        CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS kint,
+        regexp_replace(event_type, '[aeiou]', '', 'g') AS novowel,
+        regexp_matches(event_type, '^(c|p)') AS m
+      FROM events"""))
+
+  val qFnJson = QDef(
+    "q_fn_json",
+    (s, d) => t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("int")).as("k_sum"),
+        count(lit(1)).as("cnt")),
+    Some("""
+      SELECT event_type,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+        COUNT(*) AS cnt
+      FROM events GROUP BY event_type"""))
+
+  val qFnHash = QDef(
+    "q_fn_hash",
+    (s, d) => t(s, d, "customer").selectExpr(
+      "c_custkey",
+      "md5(c_name) AS m",
+      "sha2(c_name, 256) AS s256"),
+    Some("""
+      SELECT c_custkey, md5(c_name) AS m, sha256(c_name) AS s256
+      FROM customer"""))
+
+  val qFnArray = QDef(
+    "q_fn_array",
+    (s, d) => t(s, d, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .selectExpr(
+        "doc_id",
+        "size(w) AS nw",
+        "array_contains(w, 'spark') AS has_spark",
+        "element_at(w, 1) AS first_w",
+        "size(array_distinct(w)) AS uniq",
+        "array_min(w) AS minw",
+        "array_max(w) AS maxw",
+        "array_join(slice(w, 1, 5), ' ') AS head5",
+        "array_position(w, 'spark') AS pos_spark"),
+    Some("""
+      SELECT doc_id,
+        CAST(len(w) AS INTEGER) AS nw,
+        list_contains(w, 'spark') AS has_spark,
+        w[1] AS first_w,
+        CAST(len(list_distinct(w)) AS INTEGER) AS uniq,
+        list_min(w) AS minw,
+        list_max(w) AS maxw,
+        array_to_string(w[1:5], ' ') AS head5,
+        CAST(list_position(w, 'spark') AS BIGINT) AS pos_spark
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""))
+
+  val qFnExplode = QDef(
+    "q_fn_explode",
+    (s, d) => t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt")),
+    Some("""
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word"""),
+    bench = true)
+
+  val qFnPosexplode = QDef(
+    "q_fn_posexplode",
+    (s, d) => t(s, d, "documents")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word"))),
+    Some("""
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 5),
+      e AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM ws)
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS word FROM e"""))
+
+  val defs: Seq[QDef] = Seq(
+    qFnString, qFnMath, qFnDatetime, qFnCond, qFnRegex, qFnJson, qFnHash,
+    qFnArray, qFnExplode, qFnPosexplode)
+}

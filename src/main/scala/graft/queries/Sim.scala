@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{QDef, QModule}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (builder brief):
+  * brute-force cosine top-k as the correctness baseline, label-blocked
+  * cosine near-dup, and a random-hyperplane LSH bucketing as the scale
+  * path (at 100 TB you bucket first, then run the brute-force kernel
+  * inside buckets only).
+  *
+  * Determinism: the dot product is an ORDERED left fold in both engines
+  * (Spark `aggregate`, DuckDB `list_reduce`) over float→double promoted
+  * products, so every cosine is bit-identical and the oracle can compare
+  * doubles exactly. Hyperplanes are an integer LCG evaluated inside the
+  * expression — no RNG, no broadcast data.
+  */
+object Sim extends QModule {
+
+  /** Ordered-fold dot product, per dialect. */
+  private def dot(dialect: String, a: String, b: String): String = dialect match {
+    case "spark" =>
+      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    case _ =>
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+  }
+
+  /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
+  private def topkSql(dialect: String): String = {
+    val (tbl, rn) = dialect match {
+      case "spark" => ("embeddings", "row_number()")
+      case _       => ("embeddings", "row_number()")
+    }
+    val d = (a: String, b: String) => dot(dialect, a, b)
+    s"""
+      WITH e AS (SELECT vec_id, embedding,
+                        sqrt(${d("embedding", "embedding")}) AS nrm FROM $tbl),
+      q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
+      p AS (SELECT q.q_id, e.vec_id AS n_id,
+                   ${d("qe", "e.embedding")} / (qn * e.nrm) AS cos_sim
+            FROM q JOIN e ON e.vec_id <> q.q_id),
+      r AS (SELECT q_id, n_id, cos_sim,
+                   CAST($rn OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rnk
+            FROM p)
+      SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5"""
+  }
+
+  val qSimTopk = QDef(
+    "q_sim_topk",
+    sqlQ(topkSql("spark")),
+    Some(topkSql("duck")),
+    bench = true)
+
+  /** Label-blocked cosine near-dup pairs (threshold 0.4; blocking key =
+    * label keeps the pair space linear-ish, the 100 TB pattern).
+    */
+  private def embDupSql(dialect: String): String = {
+    val d = (a: String, b: String) => dot(dialect, a, b)
+    s"""
+      WITH e AS (SELECT vec_id, label, embedding,
+                        sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
+      p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   ${d("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      SELECT a_id, b_id, cos_sim FROM p WHERE cos_sim >= CAST(0.4 AS DOUBLE)"""
+  }
+
+  val qSimEmbdup = QDef(
+    "q_sim_embdup",
+    sqlQ(embDupSql("spark")),
+    Some(embDupSql("duck")))
+
+  /** Random-hyperplane LSH: 8 sign bits of dots with LCG-derived planes
+    * → 256 buckets. Bucket histogram is the verifiable artifact; the ANN
+    * join then only meets vectors sharing a bucket.
+    */
+  private def lshSql(dialect: String): String = {
+    val planes = (0 until 8).map { j =>
+      val planeExpr = dialect match {
+        case "spark" =>
+          s"transform(sequence(0, 63), i -> ((($j * 64 + i) * 2654435761) % 1009) / CAST(1009 AS DOUBLE) - CAST(0.5 AS DOUBLE))"
+        case _ =>
+          s"list_transform(generate_series(0, 63), i -> ((($j * 64 + i) * 2654435761) % 1009) / CAST(1009 AS DOUBLE) - CAST(0.5 AS DOUBLE))"
+      }
+      s"${dot(dialect, "embedding", planeExpr)} AS d$j"
+    }.mkString(", ")
+    val pack = (0 until 8).map(j => s"(CASE WHEN d$j >= 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH dots AS (SELECT vec_id, $planes FROM embeddings),
+      b AS (SELECT vec_id, CAST($pack AS INTEGER) AS bucket FROM dots)
+      SELECT bucket, COUNT(*) AS cnt FROM b GROUP BY bucket"""
+  }
+
+  val qSimLsh = QDef(
+    "q_sim_lsh",
+    sqlQ(lshSql("spark")),
+    Some(lshSql("duck")),
+    bench = true)
+
+  val defs: Seq[QDef] = Seq(qSimTopk, qSimEmbdup, qSimLsh)
+}
