@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operator layer (SURVEY.md §2.9, M2 — the
+  * BASELINE.json "Structured Streaming optimization" focus).
+  *
+  * Everything is expressed as incremental queries over unbounded tables:
+  * watermark + windowed aggregation, streaming dedup, stream-stream join
+  * with a range condition (state bounded on both sides), and arbitrary
+  * per-key state via flatMapGroupsWithState. The graphs are source-
+  * agnostic (they take any DataFrame with the events schema), so the same
+  * code runs from MemoryStream in tests, file/rate sources locally, and
+  * Kafka in production.
+  *
+  * The Sol delta (reference `core/.../scheduler/DAGScheduler.scala:190-238`,
+  * `Executor.scala:380-460` — overlap communication with compute) maps at
+  * this layer to: RocksDB state store (bounded heap at 100 TB state),
+  * watermark-bounded state eviction, AQE-coalesced shuffle partitions per
+  * micro-batch, and `maxFilesPerTrigger`/`maxOffsetsPerTrigger` micro-batch
+  * sizing — configured in [[graft.Engine]], tuned here per operator.
+  */
+object Streams {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  final case class SessionOut(
+      user_id: Long, session_start_us: Long, n_events: Int, total_value: Double)
+
+  final case class SessState(startUs: Long, lastUs: Long, n: Int, total: Double)
+
+  /** Tumbling 1h windowed counts with a 10-minute watermark: the state
+    * store holds only windows newer than (max event time − 10 min);
+    * append-mode emission finalizes a window exactly once.
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("total"))
+
+  /** Sliding 1h/30m windowed counts. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+
+  /** Session windows (30-min gap) per user — state merges adjacent
+    * sessions and closes on watermark advance.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("cnt"), col("total"))
+
+  /** Streaming dedup on event_id; watermark bounds the dedup state. */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  /** Stream-stream join: purchases enriched with clicks of the same user
+    * at most 10 minutes earlier. Watermarks on BOTH sides + the range
+    * condition let StreamingSymmetricHashJoinExec evict state (reference
+    * `StreamingSymmetricHashJoinExec.scala:126`) — unbounded state
+    * otherwise.
+    */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "20 minutes")
+    purchases.join(
+      clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
+  /** Sessionization with arbitrary per-key state (flatMapGroupsWithState,
+    * event-time timeout): emits a session when the gap is exceeded or the
+    * watermark passes. State per key is O(1) (counters + bounds), the
+    * required shape for billions of keys.
+    */
+  /** Timestamp → epoch micros (getTime alone truncates to ms). */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  def sessionizeFMGWS(events: Dataset[Event], gapUs: Long = 30 * 60 * 1000000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, rows: Iterator[Event], state: GroupState[SessState])
+        : Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur = state.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      if (state.hasTimedOut) {
+        if (cur != null)
+          out += SessionOut(userId, cur.startUs, cur.n, cur.total)
+        state.remove()
+      } else {
+        for (e <- sorted) {
+          val us = micros(e.ts)
+          if (cur == null) cur = SessState(us, us, 1, e.value)
+          else if (us - cur.lastUs < gapUs) // strict <, matching session_window
+            cur = SessState(cur.startUs, us, cur.n + 1, cur.total + e.value)
+          else {
+            out += SessionOut(userId, cur.startUs, cur.n, cur.total)
+            cur = SessState(us, us, 1, e.value)
+          }
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000 + 1)
+      }
+      out.iterator
+    }
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

