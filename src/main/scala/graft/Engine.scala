@@ -32,6 +32,7 @@ object Engine {
       .builder()
       .appName(appName)
       .master(master)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

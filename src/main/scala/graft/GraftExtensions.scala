@@ -1,0 +1,22 @@
+package graft
+
+import graft.functions.DotF
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions hook (SURVEY.md §4.3a): registers the engine's
+  * native expressions in the session FunctionRegistry so they are usable
+  * from SQL text and survive view definitions. Installed by
+  * [[Engine.builder]]; external users can pass
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotF].getName, "dot_f"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotF(children(0), children(1))))
+  }
+}

