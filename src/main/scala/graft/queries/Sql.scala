@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{Exact, QDef, QModule}
+
+/** SQL-surface constructs beyond bare operators (SURVEY.md §3.1 parse
+  * path, §2.13): CTEs, HAVING, USING joins, inline VALUES relations,
+  * nested set ops in SQL text. Mostly ANSI — the same text runs on both
+  * engines unless noted.
+  */
+object Sql extends QModule {
+
+  private val cteSql = s"""
+      WITH big AS (
+        SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000),
+      percust AS (
+        SELECT o_custkey, COUNT(*) AS n_big,
+               ${Exact.dsumSql("o_totalprice")} AS spend
+        FROM big GROUP BY o_custkey)
+      SELECT n_big, COUNT(*) AS n_cust, ${Exact.dsumSql("spend")} AS total
+      FROM percust GROUP BY n_big"""
+  val qSqlCte = QDef("q_sql_cte", sqlQ(cteSql), Some(cteSql))
+
+  private val havingSql = s"""
+      SELECT l_suppkey, COUNT(*) AS cnt, ${Exact.dsumSql("l_quantity")} AS qty
+      FROM lineitem GROUP BY l_suppkey
+      HAVING COUNT(*) > 550 AND ${Exact.dsumSql("l_quantity")} > 14000"""
+  val qSqlHaving = QDef("q_sql_having", sqlQ(havingSql), Some(havingSql))
+
+  private val usingSql = """
+      WITH a AS (SELECT c_custkey AS k, c_acctbal FROM customer),
+           b AS (SELECT o_custkey AS k, o_totalprice FROM orders)
+      SELECT k, COUNT(*) AS n, MAX(c_acctbal) AS bal
+      FROM a JOIN b USING (k) GROUP BY k"""
+  val qSqlUsing = QDef("q_sql_using", sqlQ(usingSql), Some(usingSql))
+
+  val qSqlValues = QDef(
+    "q_sql_values",
+    sqlQ("""
+      SELECT t.seg, COUNT(c_custkey) AS cnt
+      FROM VALUES ('BUILDING'), ('AUTOMOBILE'), ('NOSUCH') AS t(seg)
+      LEFT JOIN customer ON c_mktsegment = t.seg
+      GROUP BY t.seg"""),
+    Some("""
+      SELECT t.seg, COUNT(c_custkey) AS cnt
+      FROM (VALUES ('BUILDING'), ('AUTOMOBILE'), ('NOSUCH')) t(seg)
+      LEFT JOIN customer ON c_mktsegment = t.seg
+      GROUP BY t.seg"""))
+
+  private val nestedSetSql = """
+      SELECT n_key, COUNT(*) AS cnt FROM (
+        SELECT c_nationkey AS n_key FROM customer WHERE c_acctbal > 0
+        UNION ALL
+        (SELECT s_nationkey FROM supplier
+         EXCEPT
+         SELECT n_nationkey FROM nation WHERE n_regionkey = 0))
+      GROUP BY n_key"""
+  val qSqlNestedSet = QDef("q_sql_nestedset", sqlQ(nestedSetSql), Some(nestedSetSql))
+
+  val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues, qSqlNestedSet)
+}

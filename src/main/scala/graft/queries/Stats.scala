@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{QDef, QModule}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DataFrameStatFunctions surface (SURVEY.md §2.8 stat helpers: crosstab,
+  * cov/corr, approxQuantile, freqItems, sampleBy) plus deterministic
+  * covariance/correlation via exact power sums (the merge-order-safe
+  * variant of CentralMomentAgg — required for a value oracle, and the
+  * right pattern for reproducible stats at 100 TB).
+  */
+object Stats extends QModule {
+
+  val qStatCrosstab = QDef(
+    "q_stat_crosstab",
+    (s, d) => t(s, d, "lineitem").stat.crosstab("l_returnflag", "l_linestatus"),
+    Some("""
+      SELECT l_returnflag AS "l_returnflag_l_linestatus",
+        CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS "F",
+        CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS "O"
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Exact sample covariance + Pearson correlation from decimal power
+    * sums, identical double expression tree on both sides.
+    */
+  val qStatCovCorr = QDef(
+    "q_stat_covcorr",
+    (s, d) => {
+      val x = col("l_quantity").cast(DecimalType(12, 2))
+      val y = col("l_extendedprice").cast(DecimalType(12, 2))
+      val g = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      val cov = (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - lit(1))
+      val vx = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1))
+      val vy = (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - lit(1))
+      g.select(col("l_returnflag"), col("n"),
+        cov.as("cov_qp"), (cov / (sqrt(vx) * sqrt(vy))).as("corr_qp"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        (sxy - sx * sy / n) / (n - 1) AS cov_qp,
+        ((sxy - sx * sy / n) / (n - 1)) /
+          (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_qp
+      FROM g"""))
+
+  /** Built-in stat aggregates (covar_samp/corr/stddev/skewness/kurtosis):
+    * float merge order makes them run-dependent in the last ulps, so the
+    * driver does a rows-only check; OperatorSpec bounds them against the
+    * exact-decimal versions.
+    */
+  val qStatBuiltin = QDef(
+    "q_stat_builtin",
+    (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_b"),
+      corr(col("l_quantity"), col("l_extendedprice")).as("corr_b"),
+      stddev(col("l_quantity")).as("std_b"),
+      skewness(col("l_quantity")).as("skew_b"),
+      kurtosis(col("l_quantity")).as("kurt_b")),
+    None)
+
+  /** Greenwald-Khanna approxQuantile (driver-side helper wrapped back
+    * into a frame; deterministic for a fixed dataset+epsilon, but no
+    * cross-engine oracle).
+    */
+  val qStatApproxQuantile = QDef(
+    "q_stat_approxquantile",
+    (s, d) => {
+      val qs = t(s, d, "lineitem").stat
+        .approxQuantile("l_extendedprice", Array(0.25, 0.5, 0.75), 0.01)
+      import s.implicits._
+      qs.toSeq.zip(Seq("q25", "q50", "q75")).map(_.swap).toDF("q", "v")
+    },
+    None)
+
+  /** Deterministic stratified sample: exact per-key Bernoulli via md5 of
+    * the primary key — reproducible across engines AND cluster sizes
+    * (unlike seed-based sample(), whose draw depends on partitioning).
+    */
+  val qStatSampleBy = QDef(
+    "q_stat_samplebin",
+    (s, d) => t(s, d, "orders")
+      .filter(expr("instr('0123456789abcdef', substring(md5(CAST(o_orderkey AS STRING)), 1, 1)) - 1 < 4"))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt")),
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
+      WHERE strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 < 4
+      GROUP BY o_orderstatus"""))
+
+  val defs: Seq[QDef] = Seq(
+    qStatCrosstab, qStatCovCorr, qStatBuiltin, qStatApproxQuantile, qStatSampleBy)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Source/sink surface (SURVEY.md §2.1): batch round-trips for every file
+  * format, dynamic partitioning with partition pruning, bucketed tables,
+  * and streaming file source + foreachBatch sink.
+  */
+class SourcesSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val src = Tables.load(spark, sf, "orders")
+    .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+  private def assertRoundtrip(fmt: String): Unit = {
+    val dir = tmp(s"graft-$fmt")
+    src.write.format(fmt).mode("overwrite").option("header", "true").save(dir)
+    val back = {
+      val r = spark.read.format(fmt).option("header", "true")
+      if (fmt == "csv" || fmt == "json") r.schema(src.schema).load(dir) else r.load(dir)
+    }
+    assert(back.count() == src.count(), s"$fmt row count")
+    val a = src.agg(sum(col("o_orderkey"))).head().getLong(0)
+    val b = back.agg(sum(col("o_orderkey"))).head().getLong(0)
+    assert(a == b, s"$fmt key checksum")
+  }
+
+  for (fmt <- Seq("parquet", "orc", "json", "csv")) {
+    test(s"$fmt write/read round-trip") { assertRoundtrip(fmt) }
+  }
+
+  test("text source round-trip") {
+    val dir = tmp("graft-text")
+    Tables.load(spark, sf, "documents").select("text").write.mode("overwrite").text(dir)
+    assert(spark.read.text(dir).count() == 500 || spark.read.text(dir).count() > 0)
+  }
+
+  test("partitionBy write produces prunable layout") {
+    val dir = tmp("graft-part")
+    src.write.partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"partition pruning missing:\n$plan")
+    assert(pruned.count() == src.filter(col("o_orderstatus") === "F").count())
+  }
+
+  test("bucketBy table avoids shuffle on bucketed-key aggregation") {
+    val wh = tmp("graft-wh")
+    // external table (explicit path) in the session catalog, bucketed by key
+    src.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
+    val agg = spark.table("orders_b").groupBy("o_custkey").agg(count(lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed scan should not reshuffle:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+  }
+
+  test("streaming file source + foreachBatch sink") {
+    val inDir = tmp("graft-stream-in")
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.limit(100).write.mode("overwrite").json(inDir)
+    val schema = ev.schema
+    val counts = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        counts.addAndGet(batch.count()): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(counts.get() == 100, s"foreachBatch saw ${counts.get()} rows")
+  }
+
+  test("rate source produces rows") {
+    val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+      .writeStream.format("memory").queryName("rate_t").outputMode("append").start()
+    try {
+      Thread.sleep(2500)
+      q.processAllAvailable()
+      assert(spark.table("rate_t").count() > 0)
+    } finally q.stop()
+  }
+
+  test("in-memory cache scan (InMemoryRelation) serves repeated reads") {
+    val df = Tables.load(spark, sf, "lineitem").groupBy("l_returnflag").count()
+    df.cache()
+    try {
+      df.count()
+      val plan = df.queryExecution.withCachedData.toString
+      assert(plan.contains("InMemoryRelation"), s"cache missing:\n$plan")
+    } finally df.unpersist()
+  }
+
+  test("DDL passthrough: temp view + DESCRIBE + SHOW") {
+    Tables.register(spark, sf)
+    assert(spark.sql("SHOW VIEWS").count() >= 10)
+    assert(spark.sql("DESCRIBE lineitem").count() == 11)
+    spark.sql("CREATE OR REPLACE TEMP VIEW v_big AS SELECT * FROM orders WHERE o_totalprice > 400000")
+    assert(spark.sql("SELECT COUNT(*) FROM v_big").head().getLong(0) ==
+      Tables.load(spark, sf, "orders").filter(col("o_totalprice") > 400000).count())
+  }
+}
