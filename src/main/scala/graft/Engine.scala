@@ -38,6 +38,11 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Streaming state at 100 TB: RocksDB keeps per-executor state off
+      // the JVM heap with incremental checkpoints (SURVEY §2.9 state
+      // store row — the 4.x upgrade over HDFSBackedStateStoreProvider).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // events.parquet carries INT64 TIMESTAMP(NANOS); expose as raw nanos
       // (Tables derives a µs TIMESTAMP view column from it).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-safe two-phase aggregation (SURVEY.md §4.2 / builder brief
+  * "salting for skew").
+  *
+  * A hot grouping key turns one reducer into the job's critical path.
+  * Salting splits every group into `buckets` sub-groups keyed by a
+  * DETERMINISTIC row-content hash (not rand() — results and retries stay
+  * reproducible), aggregates partials per (key, salt), then merges
+  * partials per key in a second, uniformly-small aggregation. Works for
+  * any associative aggregate; exactness is preserved here by using the
+  * decimal-sum pattern for the partials.
+  *
+  * AQE's skew-join splitting handles the join case at runtime; this is
+  * the aggregation-side counterpart Spark has no automatic rewrite for.
+  */
+object Salt {
+
+  /** Exact salted sum+count of `value` grouped by `key`. */
+  def saltedSumCount(
+      df: DataFrame,
+      key: String,
+      value: String,
+      buckets: Int = 16,
+      saltSource: Seq[String] = Nil): DataFrame = {
+    val saltCols: Seq[Column] =
+      if (saltSource.nonEmpty) saltSource.map(col) else df.columns.toSeq.map(col)
+    val partial = df
+      .withColumn("__salt", pmod(hash(saltCols: _*), lit(buckets)))
+      .groupBy(col(key), col("__salt"))
+      .agg(
+        sum(col(value).cast(org.apache.spark.sql.types.DecimalType(28, 4))).as("__psum"),
+        count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(col(key))
+      .agg(
+        sum(col("__psum")).cast("double").as("sum_v"),
+        sum(col("__pcnt")).as("cnt"))
+  }
+}

@@ -1,8 +1,10 @@
 package graft.queries
 
 import graft.{QDef, QModule}
-import graft.functions.WeightedAvg
+import graft.functions.{TopKAgg, WeightedAvg}
 import graft.multimodal.Multimodal
+import graft.operators.Salt
+import org.apache.spark.sql.functions._
 
 /** Typed-API and multimodal operators (SURVEY.md §2.10 object operators,
   * builder brief multimodal columns).
@@ -34,5 +36,48 @@ object Extra extends QModule {
     Some(Multimodal.featuresOracleSql),
     bench = true)
 
-  val defs: Seq[QDef] = Seq(qAggWeighted, qMmFeatures)
+  /** Per-key top-k via bounded-buffer typed aggregate — ships k rows per
+    * (map partition, key) through the shuffle instead of sorting whole
+    * groups like the window idiom. Oracle = the window idiom.
+    */
+  val qTopkPerKey = QDef(
+    "q_topk_perkey",
+    (s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select("o_custkey", "o_totalprice", "o_orderkey")
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(TopKAgg(3).toColumn.name("top"))
+        .toDF("o_custkey", "top")
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "r")))
+        .select(
+          col("o_custkey"),
+          (col("pos") + 1).cast("int").as("rnk"),
+          col("r._2").as("o_orderkey"),
+          col("r._1").as("o_totalprice"))
+    },
+    Some("""
+      SELECT o_custkey, CAST(rn AS INTEGER) AS rnk, o_orderkey, o_totalprice
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+      WHERE rn <= 3"""),
+    bench = true)
+
+  /** Skew-salted exact aggregation — identical result to the plain
+    * groupBy (that identity IS the oracle).
+    */
+  val qSaltedAgg = QDef(
+    "q_salted_agg",
+    (s, d) => Salt.saltedSumCount(
+      t(s, d, "lineitem"), "l_suppkey", "l_quantity", buckets = 16),
+    Some(s"""
+      SELECT l_suppkey, ${graft.Exact.dsumSql("l_quantity")} AS sum_v,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_suppkey"""))
+
+  val defs: Seq[QDef] = Seq(qAggWeighted, qMmFeatures, qTopkPerKey, qSaltedAgg)
 }

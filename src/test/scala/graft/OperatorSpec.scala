@@ -91,6 +91,44 @@ class OperatorSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("TopKAgg keeps k best with total-order tiebreak") {
+    val agg = graft.functions.TopKAgg(2)
+    val all = Seq((5.0, 2L), (5.0, 1L), (3.0, 9L), (7.0, 4L))
+    val out = all.foldLeft(agg.zero)(agg.reduce)
+    assert(out == Seq((7.0, 4L), (5.0, 1L)))
+    // merge of disjoint partials = reduce over the union
+    val (a, b) = all.splitAt(2)
+    assert(agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)) == out)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val plain = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_suppkey").agg(Exact.dsum(col("l_quantity")).as("sum_v"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = graft.operators.Salt
+      .saltedSumCount(Tables.load(spark, sf, "lineitem"), "l_suppkey", "l_quantity")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(plain == salted)
+  }
+
+  test("AQE is active and finalizes plans") {
+    val df = SparkEntry.queries("q_join_left")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan"), s"AQE missing:\n$plan")
+  }
+
+  test("dot_f matches interpreted fold bit-for-bit") {
+    Tables.register(spark, sf)
+    val rows = spark.sql(
+      """SELECT dot_f(embedding, embedding) AS a,
+        |aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |          CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS b
+        |FROM embeddings""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("filter/column pruning reach the parquet scan") {
     val df = Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity")
