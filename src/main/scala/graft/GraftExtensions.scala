@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotF].getName, "dot_f"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotF(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.optimizer.FoldDotProduct)
   }
 }

@@ -21,10 +21,10 @@ import org.apache.spark.sql.types._
   * double, products accumulated left-to-right in one double accumulator —
   * so results stay bit-equal to the DuckDB `list_reduce` oracle.
   *
-  * Null handling: null array -> null (BinaryExpression default); null
-  * elements are treated as 0 contribution (embedding vectors are
-  * non-nullable in practice; containsNull arrays keep a null check in the
-  * generated loop).
+  * Null handling mirrors the composed form exactly: null array -> null,
+  * and any null ELEMENT poisons the whole sum to null (like acc + null) —
+  * which lets [[graft.optimizer.FoldDotProduct]] substitute this
+  * expression for the interpreted pattern unconditionally.
   */
 case class DotF(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -42,6 +42,8 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
       s"$prettyName requires array<float|double> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -51,11 +53,10 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
-        val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
-        acc += xv * yv
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -73,8 +74,10 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+        for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) {
+            ${ev.isNull} = true;
+          } else {
             $acc += ${get(a, left)} * ${get(b, right)};
           }
         }

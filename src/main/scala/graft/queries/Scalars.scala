@@ -170,12 +170,55 @@ object Scalars extends QModule {
       .groupBy("event_type")
       .agg(
         sum(get_json_object(col("props"), "$.k").cast("int")).as("k_sum"),
+        sum(from_json(col("props"), lit("k INT")).getField("k")).as("k_sum2"),
         count(lit(1)).as("cnt")),
     Some("""
       SELECT event_type,
         CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum2,
         COUNT(*) AS cnt
       FROM events GROUP BY event_type"""))
+
+  val qFnString2 = QDef(
+    "q_fn_string2",
+    (s, d) => t(s, d, "part").selectExpr(
+      "p_partkey",
+      "base64(encode(p_brand, 'UTF-8')) AS b64",
+      "decode(unbase64(base64(encode(p_name, 'UTF-8'))), 'UTF-8') AS rt",
+      "bin(p_partkey) AS bn",
+      "bit_length(p_brand) AS bl",
+      "chr(ascii(p_name) + 1) AS nextc",
+      "format_string('%d-%s', p_size, p_brand) AS fmt",
+      "p_brand || '/' || p_type AS pip"),
+    Some("""
+      SELECT p_partkey,
+        base64(CAST(p_brand AS BLOB)) AS b64,
+        CAST(from_base64(base64(CAST(p_name AS BLOB))) AS VARCHAR) AS rt,
+        bin(p_partkey) AS bn,
+        CAST(bit_length(p_brand) AS INTEGER) AS bl,
+        chr(unicode(p_name) + 1) AS nextc,
+        printf('%d-%s', p_size, p_brand) AS fmt,
+        p_brand || '/' || p_type AS pip
+      FROM part"""))
+
+  /** Registry names with no DuckDB counterpart (initcap, soundex,
+    * format_number, parse_url, str_to_map, sentences, crc32, xxhash64,
+    * to_json): declared here rows-only; exact values pinned in
+    * FunctionSpec.
+    */
+  val qFnMisc = QDef(
+    "q_fn_misc",
+    (s, d) => t(s, d, "part").selectExpr(
+      "p_partkey",
+      "initcap(p_type) AS ic",
+      "soundex(split_part(p_name, ' ', 1)) AS sx",
+      "format_number(p_retailprice, 2) AS fmtn",
+      "parse_url(concat('http://example.com/x?brand=', p_brand), 'QUERY', 'brand') AS purl",
+      "str_to_map(concat('a:1,b:', p_size), ',', ':')['b'] AS m_b",
+      "crc32(encode(p_brand, 'UTF-8')) AS crc",
+      "xxhash64(p_brand) AS xx",
+      "to_json(named_struct('brand', p_brand, 'size', p_size)) AS js"),
+    None)
 
   val qFnHash = QDef(
     "q_fn_hash",
@@ -236,5 +279,5 @@ object Scalars extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qFnString, qFnMath, qFnDatetime, qFnCond, qFnRegex, qFnJson, qFnHash,
-    qFnArray, qFnExplode, qFnPosexplode)
+    qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc)
 }

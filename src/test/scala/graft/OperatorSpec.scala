@@ -120,13 +120,26 @@ class OperatorSpec extends SparkSpecBase {
 
   test("dot_f matches interpreted fold bit-for-bit") {
     Tables.register(spark, sf)
+    // merge written as acc + v + 0D so FoldDotProduct does NOT rewrite it:
+    // column b really runs the interpreted HOF path
     val rows = spark.sql(
       """SELECT dot_f(embedding, embedding) AS a,
         |aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |          CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS b
+        |          CAST(0 AS DOUBLE), (acc, v) -> acc + v + 0D) AS b
         |FROM embeddings""".stripMargin).collect()
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("FoldDotProduct rewrites the HOF idiom to dot_f") {
+    Tables.register(spark, sf)
+    val df = spark.sql(
+      """SELECT aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |          CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d
+        |FROM embeddings""".stripMargin)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("dot_f"), s"rewrite did not fire:\n$opt")
+    assert(df.count() > 0)
   }
 
   test("filter/column pruning reach the parquet scan") {
