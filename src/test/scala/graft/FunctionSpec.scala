@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins exact values for surface that has no DuckDB oracle (q_fn_misc
+  * families), exercises the UDF registration surface, and the sketch
+  * stat helpers (countMinSketch / bloomFilter).
+  */
+class FunctionSpec extends SparkSpecBase {
+
+  test("q_fn_misc functions produce pinned values") {
+    import spark.implicits._
+    val row = Seq(("economy brushed steel", "Brand#13", 21, 1199.99))
+      .toDF("p_name", "p_brand", "p_size", "p_retailprice")
+      .selectExpr(
+        "initcap(p_name) AS ic",
+        "soundex(split_part(p_name, ' ', 1)) AS sx",
+        "format_number(p_retailprice, 2) AS fmtn",
+        "parse_url(concat('http://example.com/x?brand=', p_brand), 'QUERY', 'brand') AS purl",
+        "str_to_map(concat('a:1,b:', p_size), ',', ':')['b'] AS m_b",
+        "crc32(encode(p_brand, 'UTF-8')) AS crc",
+        "xxhash64(p_brand) AS xx",
+        "to_json(named_struct('brand', p_brand, 'size', p_size)) AS js")
+      .head()
+    assert(row.getString(0) == "Economy Brushed Steel")
+    assert(row.getString(1) == "E255")
+    assert(row.getString(2) == "1,199.99")
+    // '#' starts the URL fragment, so the query value stops before it
+    assert(row.getString(3) == "Brand")
+    assert(row.getString(4) == "21")
+    assert(row.getLong(5) == new java.util.zip.CRC32 {
+      update("Brand#13".getBytes("UTF-8"))
+    }.getValue)
+    assert(row.getString(7) == """{"brand":"Brand#13","size":21}""")
+  }
+
+  test("scala UDF registration surface (spark.udf.register)") {
+    spark.udf.register("graft_norm", (s: String) => s.trim.toLowerCase)
+    Tables.register(spark, sf)
+    val a = spark.sql("SELECT COUNT(DISTINCT graft_norm(p_brand)) FROM part").head().getLong(0)
+    val b = spark.sql("SELECT COUNT(DISTINCT lower(trim(p_brand))) FROM part").head().getLong(0)
+    assert(a == b)
+  }
+
+  test("countMinSketch overestimates within bound; bloomFilter has no false negatives") {
+    val df = Tables.load(spark, sf, "lineitem")
+    val cms = df.stat.countMinSketch("l_suppkey", eps = 0.01, confidence = 0.95, seed = 42)
+    val truth = df.groupBy("l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) =>
+      val est = cms.estimateCount(k)
+      assert(est >= n, s"CMS underestimated $k")
+      assert(est <= n + (0.01 * df.count()).toLong + 1, s"CMS too far off for $k")
+    }
+    val bf = df.stat.bloomFilter("l_suppkey", expectedNumItems = 1000, fpp = 0.01)
+    truth.keys.foreach(k => assert(bf.mightContain(k), s"bloom false negative $k"))
+  }
+
+  test("typed map/flatMap/mapGroups/cogroup surface") {
+    import spark.implicits._
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_totalprice").as[(Long, Double)]
+    val customers = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_acctbal").as[(Long, Double)]
+    // map / flatMap round trip
+    assert(orders.map(_._1).distinct().count() ==
+      orders.flatMap(r => Seq(r._1)).distinct().count())
+    // mapGroups: order count per customer
+    val mg = orders.groupByKey(_._1).mapGroups((k, it) => (k, it.size)).collect().toMap
+    val expect = Tables.load(spark, sf, "orders").groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(mg == expect)
+    // cogroup: customers with their order counts (including zero)
+    val cg = customers.groupByKey(_._1)
+      .cogroup(orders.groupByKey(_._1)) { (k, cs, os) =>
+        if (cs.nonEmpty) Iterator((k, os.size)) else Iterator.empty
+      }.collect().toMap
+    assert(cg.values.sum == orders.count())
+    assert(cg.count(_._2 == 0) == SparkEntry.queries("q_join_anti")(spark, sf).count())
+  }
+}

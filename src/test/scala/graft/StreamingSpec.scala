@@ -82,6 +82,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("streaming session_window (append) emits watermark-closed sessions equal to batch") {
+    val sentinel = Event(-1L, new Timestamp(batchEvents.last.ts.getTime + 10L * 24 * 3600 * 1000),
+      -999L, "view", 0.0)
+    val got = runStream("t_sw", OutputMode.Append,
+      df => Streams.sessionWindows(df), chunked(batchEvents) :+ Seq(sentinel))
+      .filter(col("user_id") =!= -999L)
+      .select("user_id", "ss", "cnt")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch session_window") {
     import spark.implicits._
     // sentinel far-future event forces the watermark past every real
