@@ -70,14 +70,22 @@ object Dedup extends QModule {
       ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM ws),
       sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM ix)"""
 
-  /** doc_id, mh0..mh15 — one row per doc. */
+  /** doc_id, mh0..mh15 — one row per doc. Signatures are BIGINTs (first
+    * 60 bits of the md5) rather than hex strings: min(long) keeps the
+    * aggregation in HashAggregateExec's fast path — min(string) buffers
+    * are var-width and fall back to SortAggregate (a per-partition sort
+    * of the full shingle stream, the wrong plan at 100 TB).
+    */
   private def minhash(s: SparkSession, d: String): DataFrame = {
-    val aggs = (0 until H).map(j => min(md5(concat(lit(s"$j|"), col("s")))).as(s"mh$j"))
+    val aggs = (0 until H).map(j => min(expr(
+      s"CAST(conv(substring(md5(concat('$j|', s)), 1, 15), 16, 10) AS BIGINT)")).as(s"mh$j"))
     shingles(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   private val minhashSqlDuck = {
-    val mins = (0 until H).map(j => s"min(md5('$j|' || s)) AS mh$j").mkString(", ")
+    val mins = (0 until H)
+      .map(j => s"min(CAST('0x' || substring(md5('$j|' || s), 1, 15) AS BIGINT)) AS mh$j")
+      .mkString(", ")
     s"mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
   }
 
@@ -92,7 +100,8 @@ object Dedup extends QModule {
 
   private val bandsSqlDuck = {
     val parts = (0 until BANDS).map { b =>
-      val cat = (0 until H / BANDS).map(k => s"mh${b * (H / BANDS) + k}").mkString(" || '|' || ")
+      val cat = (0 until H / BANDS)
+        .map(k => s"CAST(mh${b * (H / BANDS) + k} AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM mh"
     }.mkString(" UNION ALL ")
     s"bands AS ($parts)"
