@@ -98,6 +98,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("checkpoint recovery: restart resumes exactly-once (no reprocessing)") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("graft-ckpt-in").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val schema = ev.schema
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    def start() = spark.readStream.schema(schema).json(inDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("event_id").collect().map(_.getLong(0))
+        total.addAndGet(ids.length)
+        ids.foreach(id => seen.add(id)): Unit
+      }
+      .start()
+    ev.limit(120).write.mode("append").json(inDir)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val afterFirst = total.get()
+    // new files + restart from the same checkpoint: the WAL (OffsetSeqLog/
+    // CommitLog) must skip everything already committed
+    ev.orderBy(col("event_id").desc).limit(80).write.mode("append").json(inDir)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(afterFirst == 120, s"first run processed $afterFirst")
+    assert(total.get() == 200, s"reprocessing detected: ${total.get()} rows total")
+  }
+
+  test("chained stateful operators: streaming dedup feeding windowed aggregation") {
+    val es = batchEvents.take(400)
+    val withDups = chunked(es, 4) :+ es.take(80)
+    val got = runStream("t_chain", OutputMode.Append,
+      df => Streams.dedupStream(df) // already watermarked on ts
+        .groupBy(window(col("ts"), "1 hour")).count()
+        .select(col("window.start").as("ws"), col("count")),
+      withDups)
+    // append mode withholds windows not yet passed by the watermark; every
+    // emitted window must match the batch count over the DEDUPED input
+    val want = spark.createDataFrame(spark.sparkContext.parallelize(es.map(e =>
+        org.apache.spark.sql.Row(e.event_id, e.ts))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType))))
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .select(col("window.start").as("ws"), col("count"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val gotRows = got.collect().map(r => r.getTimestamp(0) -> r.getLong(1))
+    assert(gotRows.nonEmpty, "no windows emitted")
+    gotRows.foreach { case (ws, n) =>
+      assert(want.get(ws).contains(n), s"window $ws: got $n want ${want.get(ws)}")
+    }
+  }
+
   test("flatMapGroupsWithState sessionization matches batch session_window") {
     import spark.implicits._
     // sentinel far-future event forces the watermark past every real
