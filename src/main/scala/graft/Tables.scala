@@ -50,6 +50,12 @@ object Tables {
   * the final cast back to DOUBLE is bit-identical to the DuckDB oracle's
   * same computation. This is also the right call at scale: Spark's decimal
   * sum stays in whole-stage codegen with partial (map-side) aggregation.
+  *
+  * Overflow: Spark 4 runs ANSI mode by default, so a value beyond
+  * DECIMAL(28,scale) fails the query loudly instead of silently nulling
+  * out of the sum (the DuckDB oracle likewise raises) — headroom is 10^24
+  * per value and 10^34 per group sum, far above the fixtures' magnitudes;
+  * bump the precision constant if a deployment ever carries more.
   */
 object Exact {
   /** Exact sum of a fixed-point double column, returned as DOUBLE. */

@@ -277,7 +277,31 @@ object Scalars extends QModule {
       e AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM ws)
       SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS word FROM e"""))
 
+  /** Higher-order functions over arrays (the 4.x surface SURVEY §2.8
+    * notes as "free extra" beyond the 2.4 registry): exists/forall/
+    * filter/transform composed — DuckDB mirrors via list_filter/len.
+    */
+  val qFnHof = QDef(
+    "q_fn_hof",
+    (s, d) => t(s, d, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .selectExpr(
+        "doc_id",
+        "exists(w, x -> x = 'spark') AS has_spark",
+        "forall(w, x -> length(x) <= 8) AS all_short",
+        "size(filter(w, x -> length(x) >= 6)) AS n_long",
+        "aggregate(transform(w, x -> length(x)), 0, (a, b) -> a + b) AS tot_len",
+        "array_join(transform(slice(w, 1, 3), x -> upper(x)), '-') AS up3"),
+    Some("""
+      SELECT doc_id,
+        len(list_filter(w, x -> x = 'spark')) > 0 AS has_spark,
+        len(list_filter(w, x -> length(x) > 8)) = 0 AS all_short,
+        CAST(len(list_filter(w, x -> length(x) >= 6)) AS INTEGER) AS n_long,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS INTEGER) AS tot_len,
+        array_to_string(list_transform(w[1:3], x -> upper(x)), '-') AS up3
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""))
+
   val defs: Seq[QDef] = Seq(
     qFnString, qFnMath, qFnDatetime, qFnCond, qFnRegex, qFnJson, qFnHash,
-    qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc)
+    qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc, qFnHof)
 }

@@ -34,6 +34,28 @@ class FunctionSpec extends SparkSpecBase {
     assert(row.getString(7) == """{"brand":"Brand#13","size":21}""")
   }
 
+  test("xpath / sentences / from_csv / map functions produce pinned values") {
+    import spark.implicits._
+    val row = Seq(("<a><b>7</b><b>8</b></a>", "Hi there. Bye now.", "5,apple"))
+      .toDF("xml", "txt", "csvline")
+      .selectExpr(
+        "xpath_int(xml, 'sum(/a/b)') AS xsum",
+        "xpath(xml, '/a/b/text()') AS xs",
+        "sentences(txt) AS sents",
+        "from_csv(csvline, 'n INT, fruit STRING') AS c",
+        "map_keys(map('x', 1, 'y', 2)) AS mk",
+        "transform_values(map('x', 1, 'y', 2), (k, v) -> v * 10)['y'] AS tv",
+        "map_zip_with(map('a', 1), map('a', 2), (k, v1, v2) -> v1 + v2)['a'] AS mz")
+      .head()
+    assert(row.getInt(0) == 15)
+    assert(row.getSeq[String](1) == Seq("7", "8"))
+    assert(row.getSeq[Seq[String]](2) == Seq(Seq("Hi", "there"), Seq("Bye", "now")))
+    assert(row.getStruct(3).getInt(0) == 5 && row.getStruct(3).getString(1) == "apple")
+    assert(row.getSeq[String](4).sorted == Seq("x", "y"))
+    assert(row.getInt(5) == 20)
+    assert(row.getInt(6) == 3)
+  }
+
   test("scala UDF registration surface (spark.udf.register)") {
     spark.udf.register("graft_norm", (s: String) => s.trim.toLowerCase)
     Tables.register(spark, sf)
