@@ -107,5 +107,46 @@ object Sim extends QModule {
     Some(lshSql("duck")),
     bench = true)
 
-  val defs: Seq[QDef] = Seq(qSimTopk, qSimEmbdup, qSimLsh)
+  /** The complete scale path: LSH bucket (4 planes → 16 buckets), equi-
+    * join candidates WITHIN a bucket only, exact cosine re-rank, top-3.
+    * At 100 TB this replaces the O(n²) brute force with an equi-join whose
+    * fan-out is n²/buckets per band — the IVF/LSH pattern from the brief.
+    * Recall loss vs. brute force is the LSH tradeoff; the oracle verifies
+    * the computation, the spec measures recall against q_sim_topk.
+    */
+  private def lshTopkSql(dialect: String): String = {
+    val planes4 = (0 until 4).map { j =>
+      val planeExpr = dialect match {
+        case "spark" =>
+          (0 until 64).map { i =>
+            val v = ((j * 64L + i) * 2654435761L % 1009L) / 1009.0 - 0.5
+            s"${v}D"
+          }.mkString("array(", ", ", ")")
+        case _ =>
+          s"list_transform(generate_series(0, 63), i -> ((($j * 64 + i) * 2654435761) % 1009) / CAST(1009 AS DOUBLE) - CAST(0.5 AS DOUBLE))"
+      }
+      s"CASE WHEN ${dot(dialect, "embedding", planeExpr)} >= 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    val d = (a: String, b: String) => dot(dialect, a, b)
+    s"""
+      WITH e AS (SELECT vec_id, embedding, ($planes4) AS bucket,
+                        sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, bucket AS qb
+            FROM e WHERE vec_id < 10),
+      cand AS (SELECT q.q_id, e.vec_id AS n_id,
+                      ${d("qe", "e.embedding")} / (qn * e.nrm) AS cos_sim
+               FROM q JOIN e ON e.bucket = q.qb AND e.vec_id <> q.q_id),
+      r AS (SELECT q_id, n_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rnk
+            FROM cand)
+      SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 3"""
+  }
+
+  val qSimLshTopk = QDef(
+    "q_sim_lsh_topk",
+    sqlQ(lshTopkSql("spark")),
+    Some(lshTopkSql("duck")),
+    bench = true)
+
+  val defs: Seq[QDef] = Seq(qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk)
 }
