@@ -70,23 +70,35 @@ object Dedup extends QModule {
       ix AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM ws),
       sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM ix)"""
 
-  /** doc_id, mh0..mh15 — one row per doc. Signatures are BIGINTs (first
-    * 60 bits of the md5) rather than hex strings: min(long) keeps the
-    * aggregation in HashAggregateExec's fast path — min(string) buffers
-    * are var-width and fall back to SortAggregate (a per-partition sort
-    * of the full shingle stream, the wrong plan at 100 TB).
+  /** doc_id, mh0..mh15 — one row per doc.
+    *
+    * Two scale decisions: (1) ONE md5 per shingle, then a universal-hash
+    * family h_j(v) = ((2j+1)·v + b_j) mod p (p = 2^31−1) derives the 16
+    * permutations with integer math — 16× less digesting on the exploded
+    * shingle stream; all arithmetic stays < 2^36, exact in any engine.
+    * (2) signatures are BIGINTs: min(long) keeps the 16-way aggregation
+    * in HashAggregateExec's fast path — min(string) buffers are
+    * var-width and fall back to SortAggregate (a per-partition sort of
+    * the full shingle stream, the wrong plan at 100 TB).
     */
+  private val P = 2147483647L // 2^31 - 1
+  private def bj(j: Int): Long = j * 12345L + 7
+
   private def minhash(s: SparkSession, d: String): DataFrame = {
-    val aggs = (0 until H).map(j => min(expr(
-      s"CAST(conv(substring(md5(concat('$j|', s)), 1, 15), 16, 10) AS BIGINT)")).as(s"mh$j"))
-    shingles(s, d).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val base = shingles(s, d).select(col("doc_id"), expr(
+      s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $P").as("vm"))
+    val aggs = (0 until H).map(j =>
+      min(expr(s"((${2 * j + 1} * vm + ${bj(j)}) % $P)")).as(s"mh$j"))
+    base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   private val minhashSqlDuck = {
     val mins = (0 until H)
-      .map(j => s"min(CAST('0x' || substring(md5('$j|' || s), 1, 15) AS BIGINT)) AS mh$j")
+      .map(j => s"min((${2 * j + 1} * vm + ${bj(j)}) % $P) AS mh$j")
       .mkString(", ")
-    s"mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+    s"""shv AS (SELECT doc_id,
+           CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % $P AS vm FROM sh),
+       mh AS (SELECT doc_id, $mins FROM shv GROUP BY doc_id)"""
   }
 
   /** doc_id, band, bucket. */

@@ -85,6 +85,20 @@ class OperatorSpec extends SparkSpecBase {
     assert(exact.count() >= 0)
   }
 
+  test("LSH-bucketed ANN reaches reasonable recall vs brute force") {
+    val brute = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .filter(col("rnk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_sim_lsh_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "LSH produced no candidates")
+    val recall = (brute & lsh).size.toDouble / brute.size
+    // 4 random hyperplanes on random 64-d embeddings: modest recall is
+    // expected; the spec guards the pipeline produces overlapping
+    // neighbors at all, not a tuned recall target
+    assert(recall > 0.1, s"recall $recall suspiciously low")
+  }
+
   test("broadcast hint reaches the plan in q_join_multi") {
     val plan = SparkEntry.queries("q_join_multi")(spark, sf)
       .queryExecution.executedPlan.toString
