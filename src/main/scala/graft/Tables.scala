@@ -36,9 +36,22 @@ object Tables {
     else df
   }
 
-  /** Registers every table as a temp view named after its file. Idempotent. */
-  def register(spark: SparkSession, dir: String): Unit =
+  /** Registers every table as a temp view named after its file. Idempotent.
+    * Also ensures the engine's native functions exist even when the session
+    * was built without [[graft.GraftExtensions]] (e.g. a host-provided
+    * session), so every declared query runs on any SparkSession.
+    */
+  def register(spark: SparkSession, dir: String): Unit = {
+    ensureFunctions(spark)
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  }
+
+  def ensureFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f")))
+      reg.createOrReplaceTempFunction(
+        "dot_f", exprs => graft.functions.DotF(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** Deterministic-aggregation helpers.
