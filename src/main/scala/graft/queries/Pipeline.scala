@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{Exact, QDef, QModule}
+
+/** Composite analytics — classic warehouse shapes (TPC-H-style) and the
+  * end-to-end training-data-pipeline flagship, each chaining many of the
+  * §2 operators in one plan. These are the queries whose PLAN matters
+  * most at 100 TB: filter pushdown into every scan, broadcast dims,
+  * partial aggregation before each shuffle — all verified shapes.
+  */
+object Pipeline extends QModule {
+
+  /** TPC-H Q3 shape: shipping priority — join, filter, agg, top-k. */
+  private val q3Sql = s"""
+      SELECT l_orderkey,
+             ${Exact.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-30'
+        AND l_shipdate > TIMESTAMP '1998-06-30'
+      GROUP BY l_orderkey
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+  val qTpchQ3 = QDef("q_tpch_q3", sqlQ(q3Sql), Some(q3Sql), bench = true)
+
+  /** TPC-H Q5 shape: local-supplier volume across 5 joined tables. */
+  private val q5Sql = s"""
+      SELECT n_name,
+             ${Exact.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name"""
+  val qTpchQ5 = QDef("q_tpch_q5", sqlQ(q5Sql), Some(q5Sql), bench = true)
+
+  /** TPC-H Q10-ish: returned-item customers ranked by lost revenue. */
+  private val q10Sql = s"""
+      SELECT c_custkey, c_name,
+             ${Exact.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS lost,
+             COUNT(*) AS n_items
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name
+      ORDER BY lost DESC, c_custkey LIMIT 20"""
+  val qTpchQ10 = QDef("q_tpch_q10", sqlQ(q10Sql), Some(q10Sql))
+
+  /** The flagship training-data pipeline in ONE plan: language filter →
+    * quality scoring → fingerprint dedup (keep min doc_id) → embedding
+    * join → per-language corpus stats. Every stage is the oracle-verified
+    * operator from its own module; this query proves they compose.
+    */
+  private def pipelineSql(dialect: String): String = {
+    val (split, nlen, filt, replG) = dialect match {
+      case "spark" => ("split(text, ' ')", "size", "filter", "")
+      case _       => ("string_split(text, ' ')", "len", "list_filter", ", 'g'")
+    }
+    val dotSelf = dialect match {
+      case "spark" => "dot_f(embedding, embedding)"
+      case _ =>
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(embedding, embedding), " +
+          "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+    }
+    val castInt = (e: String) => dialect match {
+      case "spark" => e
+      case _       => s"CAST($e AS INTEGER)"
+    }
+    s"""
+      WITH scored AS (
+        SELECT doc_id, lang, text,
+               ${castInt(s"$nlen($split)")} AS n_words,
+               $nlen($filt($split, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))
+                 / $nlen($split) AS stop_ratio,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''$replG), ' +', ' '$replG))) AS fp
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')),
+      quality AS (
+        SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio < 0.5),
+      dedup AS (
+        SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY fp),
+      kept AS (
+        SELECT q.doc_id, q.lang, q.n_words, q.stop_ratio
+        FROM quality q JOIN dedup d ON q.doc_id = d.doc_id),
+      joined AS (
+        SELECT k.lang, k.n_words, k.stop_ratio, sqrt($dotSelf) AS nrm
+        FROM kept k JOIN embeddings e ON k.doc_id = e.vec_id)
+      SELECT lang, COUNT(*) AS n_docs,
+             ${if (dialect == "spark") "SUM(n_words)" else "CAST(SUM(n_words) AS BIGINT)"} AS total_words,
+             ${Exact.dsumSql("nrm", 6)} AS sum_norm
+      FROM joined GROUP BY lang"""
+  }
+
+  val qPipelineClean = QDef(
+    "q_pipeline_clean",
+    sqlQ(pipelineSql("spark")),
+    Some(pipelineSql("duck")),
+    bench = true)
+
+  val defs: Seq[QDef] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qPipelineClean)
+}
