@@ -107,6 +107,42 @@ object Windows extends QModule {
         cume_dist() OVER (ORDER BY c_acctbal) AS cd
       FROM customer"""))
 
+  /** Bounded sliding ROWS frame (2 preceding .. 1 following) and a
+    * numeric-offset RANGE frame (acctbal ± 100) — the remaining
+    * WindowFunctionFrame variants (offset/sliding/shrinking).
+    */
+  val qWinFrames = QDef(
+    "q_win_frames",
+    (s, d) => {
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val sliding = byCust.rowsBetween(-2, 1)
+      val range = Window.orderBy(col("c_acctbal")).rangeBetween(-100L, 100L)
+      val o = t(s, d, "orders").select(
+        col("o_orderkey"),
+        count(lit(1)).over(sliding).as("w_cnt"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .over(sliding).cast("double").as("w_sum"))
+      val c = t(s, d, "customer").select(
+        col("c_custkey").as("o_orderkey"),
+        count(lit(1)).over(range).as("w_cnt"),
+        lit(null).cast("double").as("w_sum"))
+      o.unionByName(c)
+    },
+    Some("""
+      SELECT o_orderkey,
+        CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS w_sum
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+      UNION ALL
+      SELECT c_custkey AS o_orderkey,
+        CAST(COUNT(*) OVER (ORDER BY c_acctbal
+                            RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS BIGINT) AS w_cnt,
+        CAST(NULL AS DOUBLE) AS w_sum
+      FROM customer"""))
+
   /** Keep-latest-per-key dedup via row_number (the window-dedup idiom). */
   val qWinLatest = QDef(
     "q_win_latest",
@@ -126,5 +162,6 @@ object Windows extends QModule {
         FROM orders) WHERE rn = 1"""))
 
   val defs: Seq[QDef] = Seq(
-    qWinRank, qWinLagLead, qWinRunsum, qWinRange, qWinNtile, qWinLatest)
+    qWinRank, qWinLagLead, qWinRunsum, qWinRange, qWinNtile, qWinFrames,
+    qWinLatest)
 }
