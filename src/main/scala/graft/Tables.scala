@@ -23,6 +23,10 @@ object Tables {
     * nanos as `ts_ns` for total ordering.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // runtime-settable; makes events readable on host-provided sessions
+    // built without Engine.builder's config
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType.typeName == "long")
       df.withColumnRenamed("ts", "ts_ns")
