@@ -6,11 +6,18 @@ package graft
   * Each query materializes through the `noop` sink — full pipeline
   * execution (scan→shuffle→agg) without count()'s extra aggregation plan
   * or any driver-side collect.
+  *
+  * Timing is the MEDIAN of SPARK_GRAFT_BENCH_ROUNDS (default 3) rounds —
+  * the host is multi-tenant and single-shot numbers vary ±2× on GC-heavy
+  * queries (r2: driver measured 2× the builder's single-shot). A query
+  * that throws in any round is reported in `failed` with value -1 and is
+  * EXCLUDED from `value`, so a failing run can't masquerade as a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = Engine
       .builder("graft-bench", s"local[$cpus]", cpus.toInt)
       .getOrCreate()
@@ -26,18 +33,32 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    val results = SparkEntry.benchQueries.map { q =>
+    val names = SparkEntry.benchQueries.map(_.name)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    for (r <- 1 to rounds; q <- SparkEntry.benchQueries) {
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      try {
+        q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(q.name) = dt :: times.getOrElse(q.name, Nil)
+      } catch { case e: Throwable =>
+        failed += q.name
+        System.err.println(s"[bench] ${q.name} failed (round $r): ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s((s.size - 1) / 2)
+    }
+    val perQuery = names.map { n =>
+      n -> (if (failed(n)) -1.0 else median(times(n)))
+    }
+    val qs = perQuery.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = perQuery.collect { case (_, v) if v >= 0 => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rounds":$rounds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -13,11 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("dot_f"),
-      new ExpressionInfo(classOf[DotF].getName, "dot_f"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotF(children(0), children(1))))
+    graft.functions.Natives.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotF].getName, name),
+        builder))
+    }
     ext.injectOptimizerRule(_ => graft.optimizer.FoldDotProduct)
   }
 }

@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * double, products accumulated left-to-right in one double accumulator —
   * so results stay bit-equal to the DuckDB `list_reduce` oracle.
   *
-  * Null handling mirrors the composed form exactly: null array -> null,
-  * and any null ELEMENT poisons the whole sum to null (like acc + null) —
-  * which lets [[graft.optimizer.FoldDotProduct]] substitute this
+  * Null handling mirrors the composed form exactly: null array -> null;
+  * any null ELEMENT poisons the whole sum to null (like acc + null); and
+  * arrays of UNEQUAL length -> null, because zip_with pads the shorter
+  * side with nulls and those pad-nulls poison the fold. Matching all three
+  * is what lets [[graft.optimizer.FoldDotProduct]] substitute this
   * expression for the interpreted pattern unconditionally.
   */
 case class DotF(left: Expression, right: Expression) extends BinaryExpression {
@@ -47,7 +49,8 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lt = elemType(left).get
     val rt = elemType(right).get
     var acc = 0.0
@@ -72,8 +75,11 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
         case _ => s"$arr.getDouble($i)"
       }
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
         double $acc = 0.0;
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        }
         for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
           if ($a.isNullAt($i) || $b.isNullAt($i)) {
             ${ev.isNull} = true;

@@ -21,6 +21,11 @@ object AsOf {
     * `right` with the same `key` and `right.ts <= left.ts` (inclusive:
     * at equal timestamps the right row wins because side 0 sorts first).
     * Output = all `left` columns + `out` (null when no prior right row).
+    *
+    * Ties: when several right rows share (key, ts), the one with the
+    * GREATEST `rightVal` wins — `__v` is the final sort key, so the
+    * result is deterministic under any partitioning (requires `rightVal`
+    * to be of an orderable type).
     */
   def joinLast(
       left: DataFrame,
@@ -39,7 +44,7 @@ object AsOf {
     val r2 = right.select(
       col(key), col(rightTs).as("__t"), lit(0).as("__side"), col(rightVal).as("__v"))
     val u = l2.unionByName(r2, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn(out, last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)

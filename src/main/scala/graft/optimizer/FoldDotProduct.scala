@@ -16,8 +16,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * into the codegen'd [[DotF]] kernel. Users keep writing the portable
   * declarative form; the engine runs the tight loop. Safe because DotF
   * reproduces the fold exactly: left-to-right double accumulation,
-  * multiply commutes bit-identically, and null elements poison the sum on
-  * both paths.
+  * multiply commutes bit-identically, null elements poison the sum on
+  * both paths, and unequal-length inputs yield null on both paths
+  * (zip_with pads with nulls; DotF checks lengths up front).
   */
 object FoldDotProduct extends Rule[LogicalPlan] {
 

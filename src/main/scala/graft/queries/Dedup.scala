@@ -55,14 +55,22 @@ object Dedup extends QModule {
   private val H = 16 // minhash functions
   private val BANDS = 4 // 4 bands x 4 rows
 
-  /** doc_id, s — one row per 3-word shingle. */
+  /** doc_id, s — one row per 3-word shingle.
+    *
+    * Shape note: explode the INDEX sequence (codegen'd `Sequence`), then
+    * build each shingle with row-level `concat_ws`/`element_at` — all
+    * inside whole-stage codegen. The earlier `transform(sequence(...),
+    * i -> concat_ws(...))` idiom ran an interpreted lambda per shingle and
+    * allocated the whole shingle array per document before exploding it.
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 2), i -> " +
-          "concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))")).as("s"))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(1, size(w) - 2)")).as("i"))
+      .select(col("doc_id"), expr(
+        "concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))").as("s"))
 
   private val shinglesSqlDuck = """
       ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -85,8 +93,12 @@ object Dedup extends QModule {
   private def bj(j: Int): Long = j * 12345L + 7
 
   private def minhash(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.ensureFunctions(s)
+    // md5_long = digest-direct value of the first 15 md5 hex digits (the
+    // native expression; same value as conv(substring(md5(s),1,15),16,10)
+    // without materializing and re-parsing the hex string per shingle).
     val base = shingles(s, d).select(col("doc_id"), expr(
-      s"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % $P").as("vm"))
+      s"md5_long(s) % $P").as("vm"))
     val aggs = (0 until H).map(j =>
       min(expr(s"((${2 * j + 1} * vm + ${bj(j)}) % $P)")).as(s"mh$j"))
     base.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -123,8 +135,11 @@ object Dedup extends QModule {
     // Self-join input: persist so the shingle->minhash->band pipeline runs
     // once, not once per join side. At cluster scale this is the standard
     // "materialize the signature table" step of an LSH pipeline (it is
-    // ~H doubles per doc — tiny next to the corpus).
-    val bd = bands(s, d).persist()
+    // ~H longs per doc — tiny next to the corpus). Session-memoized so the
+    // minhash and jaccard queries share ONE persisted copy instead of each
+    // stacking a fresh lineage (the r2 cache leak); release with
+    // [[graft.SessionCache.clear]].
+    val bd = graft.SessionCache.memo(s, s"dedup-bands:$d")(bands(s, d).persist())
     val x = bd.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
     val y = bd.select(col("doc_id").as("b_id"), col("band").as("band2"), col("bucket").as("bucket2"))
     x.join(y, x("band") === y("band2") && x("bucket") === y("bucket2") && x("a_id") < y("b_id"))
@@ -185,20 +200,23 @@ object Dedup extends QModule {
   // ---------------------------------------------------------------- SimHash
 
   /** 16-bit SimHash over the word stream: bit i of each word's md5 votes
-    * ±1; the sign vector re-packs into an integer. Expression strings are
-    * generated once per dialect from the same template, so the oracle is
-    * structurally identical.
+    * ±1; the sign vector re-packs into an integer. Both dialects read the
+    * same hex digit of the same md5, so values are engine-equal; the Spark
+    * side derives it from the native 60-bit `md5_long` with integer
+    * shifts (no hex-string materialization per word — the r2 hot loop),
+    * while DuckDB keeps the portable hex-char arithmetic.
     */
   private def simhashSql(dialect: String): String = {
-    // md5 is computed ONCE per word (projection `h`), then each bit is
-    // cheap hex-char arithmetic — not 16 digests per word.
+    // h = value of md5's first 15 hex digits (spark: BIGINT via md5_long;
+    // duck: the hex string) — computed ONCE per word, then each bit is
+    // cheap digit arithmetic, not 16 digests per word.
     def hexVal(i: Int): String = {
       val idx = i / 4 + 1
-      val pos = dialect match {
-        case "spark" => s"instr('0123456789abcdef', substring(h, $idx, 1))"
-        case _       => s"strpos('0123456789abcdef', substring(h, $idx, 1))"
+      dialect match {
+        // hex digit #idx (1-based, MSB first) of the 60-bit value
+        case "spark" => s"((h div ${1L << (4 * (15 - idx))}L) % 16)"
+        case _       => s"(strpos('0123456789abcdef', substring(h, $idx, 1)) - 1)"
       }
-      s"($pos - 1)"
     }
     def bit(i: Int): String = {
       val div = dialect match { case "spark" => "div"; case _ => "//" }
@@ -210,9 +228,13 @@ object Dedup extends QModule {
       case "spark" => "SELECT doc_id, explode(split(text, ' ')) AS w FROM documents"
       case _       => "SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents"
     }
+    val hExpr = dialect match {
+      case "spark" => "md5_long(w)"
+      case _       => "md5(w)"
+    }
     s"""
       SELECT doc_id, CAST($pack AS BIGINT) AS simhash FROM (
-        SELECT doc_id, $sums FROM (SELECT doc_id, md5(w) AS h FROM ($wordsRel)) GROUP BY doc_id)"""
+        SELECT doc_id, $sums FROM (SELECT doc_id, $hExpr AS h FROM ($wordsRel)) GROUP BY doc_id)"""
   }
 
   val qDedupSimhash = QDef(

@@ -55,29 +55,37 @@ object Pipeline extends QModule {
     * operator from its own module; this query proves they compose.
     */
   private def pipelineSql(dialect: String): String = {
-    val (split, nlen, filt, replG) = dialect match {
-      case "spark" => ("split(text, ' ')", "size", "filter", "")
-      case _       => ("string_split(text, ' ')", "len", "list_filter", ", 'g'")
-    }
+    val replG = dialect match { case "spark" => ""; case _ => ", 'g'" }
     val dotSelf = dialect match {
       case "spark" => "dot_f(embedding, embedding)"
       case _ =>
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(embedding, embedding), " +
           "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
     }
-    val castInt = (e: String) => dialect match {
-      case "spark" => e
-      case _       => s"CAST($e AS INTEGER)"
-    }
-    s"""
-      WITH scored AS (
-        SELECT doc_id, lang, text,
-               ${castInt(s"$nlen($split)")} AS n_words,
-               $nlen($filt($split, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))
-                 / $nlen($split) AS stop_ratio,
+    // Word scoring: the spark side splits ONCE in a subquery and counts
+    // stop words with the native codegen'd `count_in` — the portable
+    // filter-HOF idiom (kept as the DuckDB mirror) runs an interpreted
+    // closure per word per document, the r2 flagship hot spot. Both count
+    // words equal to a member of the stop set, so the int/int division is
+    // value-identical.
+    val scored = dialect match {
+      case "spark" => """
+        SELECT doc_id, lang, size(w) AS n_words,
+               count_in(w, 'the', 'a', 'of', 'and') / size(w) AS stop_ratio,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))) AS fp
+        FROM (SELECT doc_id, lang, text, split(text, ' ') AS w
+              FROM documents WHERE lang IN ('en', 'de', 'fr'))"""
+      case _ => s"""
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+               len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'))
+                 / len(string_split(text, ' ')) AS stop_ratio,
                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''$replG), ' +', ' '$replG))) AS fp
         FROM documents
-        WHERE lang IN ('en', 'de', 'fr')),
+        WHERE lang IN ('en', 'de', 'fr')"""
+    }
+    s"""
+      WITH scored AS ($scored),
       quality AS (
         SELECT * FROM scored WHERE n_words >= 20 AND stop_ratio < 0.5),
       dedup AS (
