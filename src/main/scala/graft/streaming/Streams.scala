@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured-Streaming operator layer (SURVEY.md §2.9, M2 — the
   * BASELINE.json "Structured Streaming optimization" focus).
@@ -73,8 +74,15 @@ object Streams {
     * condition let StreamingSymmetricHashJoinExec evict state (reference
     * `StreamingSymmetricHashJoinExec.scala:126`) — unbounded state
     * otherwise.
+    *
+    * `joinType = "left_outer"` adds watermark-driven null emission: a
+    * purchase with no matching click is held in state and emitted
+    * null-padded only once the watermark guarantees no click can still
+    * arrive (reference `StreamingSymmetricHashJoinExec.scala:173-180`) —
+    * the timing users must understand: outer rows are LATE by one
+    * watermark delay, never early.
     */
-  def purchaseClickJoin(events: DataFrame): DataFrame = {
+  def purchaseClickJoin(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", "10 minutes")
@@ -85,7 +93,8 @@ object Streams {
       clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-        col("c_ts") <= col("p_ts"))
+        col("c_ts") <= col("p_ts"),
+      joinType)
   }
 
   /** Sessionization with arbitrary per-key state (flatMapGroupsWithState,
@@ -131,5 +140,66 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** The same sessionization on the 4.x `transformWithState` API
+    * (SURVEY.md §2.9 — the successor of mapGroupsWithState; lineage:
+    * reference `FlatMapGroupsWithStateExec.scala:46`). Differences that
+    * matter at scale: typed state handles (`ValueState`) live in the
+    * state store per-field instead of one opaque blob, and timers are
+    * first-class (register/delete) instead of one implicit timeout per
+    * key. Semantics here are identical to [[sessionizeFMGWS]], which the
+    * spec asserts by equivalence against batch `session_window`.
+    */
+  final class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var sess: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessState](
+        "sess", Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event], timers: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur = if (sess.exists()) sess.get() else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      for (e <- sorted) {
+        val us = micros(e.ts)
+        if (cur == null) cur = SessState(us, us, 1, e.value)
+        else if (us - cur.lastUs < gapUs) // strict <, matching session_window
+          cur = SessState(cur.startUs, us, cur.n + 1, cur.total + e.value)
+        else {
+          out += SessionOut(userId, cur.startUs, cur.n, cur.total)
+          cur = SessState(us, us, 1, e.value)
+        }
+      }
+      sess.update(cur)
+      // one live timer per key: drop the stale one, arm at session close
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer((cur.lastUs + gapUs) / 1000 + 1)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long, timers: TimerValues, timer: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (sess.exists()) {
+        val cur = sess.get()
+        sess.clear()
+        Iterator.single(SessionOut(userId, cur.startUs, cur.n, cur.total))
+      } else Iterator.empty
+  }
+
+  def sessionizeTWS(events: Dataset[Event], gapUs: Long = 30 * 60 * 1000000L)
+      : Dataset[SessionOut] = {
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessionOut] =
+      Encoders.product[SessionOut]
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(
+        new SessionProcessor(gapUs),
+        TimeMode.EventTime(),
+        OutputMode.Append())
   }
 }

@@ -153,6 +153,158 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("Update output mode emits per-batch deltas; last update per key equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 200L * 24 * 3600 * 1000 // midnight, so windows align
+    def ev(id: Long, offsetMin: Long, typ: String) =
+      Event(id, new Timestamp(t0 + offsetMin * 60000), 1L, typ, 1.0)
+    // same 1h window fed across two batches (second stays inside the
+    // 10-min watermark), then a far batch closes it
+    val feed = Seq(
+      Seq(ev(1, 5, "click"), ev(2, 10, "click"), ev(3, 12, "view")),
+      Seq(ev(4, 20, "click")),
+      Seq(ev(5, 180, "view")))
+    val input = MemoryStream[Event]
+    // (batchId, ws, event_type, cnt) for every Update-mode emission
+    val emissions = scala.collection.mutable.ArrayBuffer.empty[(Long, Timestamp, String, Long)]
+    val q = Streams.tumblingCounts(input.toDF())
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.select("ws", "event_type", "cnt").collect().foreach(r =>
+          emissions.synchronized {
+            emissions += ((id, r.getTimestamp(0), r.getString(1), r.getLong(2)))
+          }): Unit
+      }
+      .start()
+    try {
+      feed.foreach { c => input.addData(c); q.processAllAvailable() }
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = spark.createDataset(feed.flatten)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start"), col("event_type"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = emissions.groupBy { case (_, ws, et, _) => (ws, et) }
+      .map { case (k, es) => k -> es.maxBy(_._1)._4 } // last emission per key
+    assert(got == want, "last Update emission per key must equal the batch count")
+    // Update mode's point vs Complete/Append: the still-open window re-emits
+    // with the grown count when batch 2 extends it (cnt 2 then 3)
+    val clickKey = emissions.filter(e => e._3 == "click").map(e => (e._1, e._4)).sorted
+    assert(clickKey.map(_._2) == Seq(2L, 3L),
+      s"expected the click window to emit cnt=2 then cnt=3; got $clickKey")
+  }
+
+  test("stream-stream left-outer join: null-padded row emits only after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 100L * 24 * 3600 * 1000 // arbitrary base instant
+    def ev(id: Long, offsetMin: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(t0 + offsetMin * 60000), user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = Streams.purchaseClickJoin(input.toDF(), "left_outer")
+      .select("p_id", "c_id")
+      .writeStream.format("memory").queryName("t_lojoin").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // P1 has a click 5 min earlier (matches); P2 has none
+      input.addData(Seq(ev(10, 0, 1, "click"), ev(11, 5, 1, "purchase"), ev(12, 5, 2, "purchase")))
+      q.processAllAvailable()
+      val early = spark.table("t_lojoin")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(early == Set((11L, Some(10L))),
+        s"before watermark passes, only the matched row may emit; got $early")
+      // advance BOTH sides' watermarks past P2's state-expiry bound
+      input.addData(Seq(ev(98, 120, 9, "purchase"), ev(99, 120, 9, "click")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val late = spark.table("t_lojoin")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(late.contains((12L, None)),
+        s"unmatched purchase must emit null-padded after the watermark passes; got $late")
+    } finally q.stop()
+  }
+
+  test("transformWithState sessionization matches batch session_window") {
+    import spark.implicits._
+    val sentinel = Event(-1L, new Timestamp(batchEvents.last.ts.getTime + 10L * 24 * 3600 * 1000),
+      -999L, "view", 0.0)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeTWS(input.toDS())
+      .writeStream.format("memory").queryName("t_tws").outputMode(OutputMode.Append).start()
+    try {
+      chunked(batchEvents, 8).foreach { c => input.addData(c); q.processAllAvailable() }
+      input.addData(Seq(sentinel)); q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_tws").filter(col("user_id") =!= -999L)
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("ss_us"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    assert(got == want)
+  }
+
+  test("native parquet file-stream sink is exactly-once across restart (manifest-committed)") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("graft-fsink-in").toString
+    val outDir = Files.createTempDirectory("graft-fsink-out").toString + "/data"
+    val ckpt = Files.createTempDirectory("graft-fsink-ckpt").toString
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val schema = ev.schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(inDir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.limit(120).write.mode("append").json(inDir)
+    runOnce()
+    // restart from the same checkpoint with more input: FileStreamSink's
+    // _spark_metadata manifest must commit each batch exactly once
+    ev.orderBy(col("event_id").desc).limit(80).write.mode("append").json(inDir)
+    runOnce()
+    assert(new java.io.File(outDir, "_spark_metadata").exists(),
+      "FileStreamSink manifest missing — not the native file sink path")
+    val back = spark.read.parquet(outDir) // manifest-aware read
+    assert(back.count() == 200, s"expected exactly 200 rows, got ${back.count()}")
+    assert(back.select("event_id").distinct().count() == 200)
+  }
+
+  test("ProcessingTime and Once triggers drive micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // ProcessingTime: periodic micro-batches (TriggerExecutor loop)
+    val in1 = MemoryStream[Event]
+    val q1 = Streams.tumblingCounts(in1.toDF())
+      .writeStream.format("memory").queryName("t_ptrig").outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      in1.addData(batchEvents.take(100))
+      q1.processAllAvailable()
+      assert(spark.table("t_ptrig").count() > 0)
+    } finally q1.stop()
+    // Once: exactly one micro-batch, then self-terminate
+    val in2 = MemoryStream[Event]
+    in2.addData(batchEvents.take(100))
+    val q2 = Streams.tumblingCounts(in2.toDF())
+      .writeStream.format("memory").queryName("t_once").outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table("t_once").count() > 0)
+  }
+
   test("flatMapGroupsWithState sessionization matches batch session_window") {
     import spark.implicits._
     // sentinel far-future event forces the watermark past every real
