@@ -107,6 +107,51 @@ object Windows extends QModule {
         cume_dist() OVER (ORDER BY c_acctbal) AS cd
       FROM customer"""))
 
+  /** The SCALE-SAFE global ntile/percent_rank/cume_dist: same answer as
+    * [[qWinNtile]] (same oracle), but no row ever passes through a global
+    * single-task window. Two passes:
+    *   1. histogram: count per distinct order-key value (distributed
+    *      groupBy), then ONE tiny window over the histogram computes each
+    *      value's cumulative offset — the single-task step touches
+    *      #distinct-values rows, not #rows (money-typed keys are bounded;
+    *      at 100 TB this is the standard histogram/offset trick);
+    *   2. join offsets back (broadcast-able) and compute the global
+    *      row_number inside a PARTITIONED window (per value, by tiebreak),
+    *      then derive ntile/percent_rank/cume_dist arithmetically from
+    *      (offset + local rn, group count, total n).
+    * ntile boundary math mirrors Spark/DuckDB exactly: with n = 4q + r,
+    * the first r tiles take q+1 rows.
+    */
+  val qWinNtileDist = QDef(
+    "q_win_ntile_dist",
+    (s, d) => {
+      val c = t(s, d, "customer").select("c_custkey", "c_acctbal")
+      val hist = c.groupBy("c_acctbal").agg(count(lit(1)).as("cnt"))
+      val wHist = Window.orderBy("c_acctbal")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = hist.withColumn("off", coalesce(sum("cnt").over(wHist), lit(0L)))
+      val tot = c.agg(count(lit(1)).as("n"))
+      val wIn = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+      c.join(off, "c_acctbal")
+        .crossJoin(broadcast(tot))
+        .withColumn("rn", row_number().over(wIn) + col("off"))
+        .selectExpr(
+          "c_custkey",
+          // ntile(4): first (n % 4) tiles hold (n div 4)+1 rows
+          """CAST(CASE WHEN rn <= (n % 4) * (n div 4 + 1)
+                       THEN (rn - 1) div (n div 4 + 1) + 1
+                       ELSE (n % 4) + (rn - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+                  END AS INT) AS quartile""",
+          "off / (n - 1) AS pr",       // rank()-1 = offset of the value group
+          "(off + cnt) / n AS cd")
+    },
+    Some("""
+      SELECT c_custkey,
+        CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile,
+        percent_rank() OVER (ORDER BY c_acctbal) AS pr,
+        cume_dist() OVER (ORDER BY c_acctbal) AS cd
+      FROM customer"""))
+
   /** Bounded sliding ROWS frame (2 preceding .. 1 following) and a
     * numeric-offset RANGE frame (acctbal ± 100) — the remaining
     * WindowFunctionFrame variants (offset/sliding/shrinking).
@@ -162,6 +207,6 @@ object Windows extends QModule {
         FROM orders) WHERE rn = 1"""))
 
   val defs: Seq[QDef] = Seq(
-    qWinRank, qWinLagLead, qWinRunsum, qWinRange, qWinNtile, qWinFrames,
-    qWinLatest)
+    qWinRank, qWinLagLead, qWinRunsum, qWinRange, qWinNtile, qWinNtileDist,
+    qWinFrames, qWinLatest)
 }

@@ -78,6 +78,32 @@ class FunctionSpec extends SparkSpecBase {
     truth.keys.foreach(k => assert(bf.mightContain(k), s"bloom false negative $k"))
   }
 
+  test("functions.udaf registers a typed Aggregator for SQL text") {
+    // the same Aggregator that backs q_agg_weighted, but through the
+    // functions.udaf registration surface and invoked from SQL
+    spark.udf.register("graft_wavg", udaf(graft.functions.WeightedAvg))
+    Tables.register(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, graft_wavg(l_returnflag, l_extendedprice, l_quantity) AS wavg_price
+         FROM lineitem GROUP BY l_returnflag""")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaTyped = SparkEntry.queries("q_agg_weighted")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaTyped)
+  }
+
+  test("freqItems finds every heavy hitter above the support threshold") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val freq = li.stat.freqItems(Array("l_returnflag"), 0.1)
+      .head().getSeq[String](0).toSet
+    // each return flag carries ~1/3 of the rows — all must be reported
+    // (freqItems may over-report, never under-report true heavy hitters)
+    val truth = li.groupBy("l_returnflag").count()
+      .filter(col("count") > lit(0.1) * li.count())
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(freq), s"missing heavy hitters: ${truth -- freq}")
+  }
+
   test("typed map/flatMap/mapGroups/cogroup surface") {
     import spark.implicits._
     val orders = Tables.load(spark, sf, "orders")
