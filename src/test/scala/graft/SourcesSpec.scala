@@ -100,6 +100,56 @@ class SourcesSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("JDBC round-trip, filter pushdown, and partitioned parallel read (embedded Derby)") {
+    // derby.jar ships with the Spark distribution, so the stock
+    // spark.read/write.jdbc path is exercised end-to-end in-process — the
+    // same code path as any warehouse JDBC source at scale
+    System.setProperty("derby.stream.error.file", s"${tmp("graft-derby-log")}/derby.log")
+    val url = s"jdbc:derby:${tmp("graft-derby")}/db;create=true"
+    val props = new java.util.Properties()
+    val nation = Tables.load(spark, sf, "nation")
+    nation.write.mode("overwrite").jdbc(url, "nation_jdbc", props)
+    val back = spark.read.jdbc(url, "nation_jdbc", props)
+    assert(back.count() == nation.count())
+    assert(back.columns.map(_.toLowerCase).sorted.sameElements(nation.columns.sorted))
+    // filter pushdown into the JDBC scan (PushedFilters on JDBCRelation)
+    val filtered = back.filter(col("n_regionkey") === 1)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(n_regionkey,1)"),
+      s"JDBC filter not pushed:\n$plan")
+    assert(filtered.count() == nation.filter(col("n_regionkey") === 1).count())
+    // partitioned read: the scale path — N parallel range-bound queries
+    val parts = spark.read.jdbc(url, "nation_jdbc", "N_NATIONKEY",
+      lowerBound = 0L, upperBound = 25L, numPartitions = 4, props)
+    assert(parts.rdd.getNumPartitions == 4)
+    assert(parts.count() == nation.count())
+  }
+
+  test("Kafka-schema custom V2 source drives the standard decode path into a watermarked graph") {
+    val raw = spark.readStream
+      .format("graft.sources.KafkaShapedProvider")
+      .option("numRecords", "300").option("numPartitions", "3")
+      .load()
+    // the exact Kafka wire schema — swapping format("kafka") in is the only change
+    assert(raw.schema == graft.sources.KafkaShaped.schema)
+    val eventSchema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    val events = raw
+      .selectExpr("CAST(value AS STRING) AS js", "timestamp AS ts")
+      .select(from_json(col("js"), org.apache.spark.sql.types.StructType.fromDDL(eventSchema)).as("e"), col("ts"))
+      .select(col("e.event_id"), col("ts"), col("e.user_id"), col("e.event_type"), col("e.value"))
+    val q = graft.streaming.Streams.tumblingCounts(events)
+      .writeStream.format("memory").queryName("kafka_shaped_t").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("kafka_shaped_t")
+        .agg(sum(col("cnt"))).head().getLong(0)
+      assert(total == 300, s"expected all 300 records through the graph, got $total")
+      val types = spark.table("kafka_shaped_t").select("event_type").distinct().count()
+      assert(types == 3)
+    } finally q.stop()
+  }
+
   test("DDL passthrough: temp view + DESCRIBE + SHOW") {
     Tables.register(spark, sf)
     assert(spark.sql("SHOW VIEWS").count() >= 10)

@@ -226,6 +226,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream right-outer join preserves unmatched clicks with null purchase side") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 100L * 24 * 3600 * 1000
+    def ev(id: Long, offsetMin: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(t0 + offsetMin * 60000), user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = Streams.purchaseClickJoin(input.toDF(), "right_outer")
+      .select("p_id", "c_id")
+      .writeStream.format("memory").queryName("t_rojoin").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // click 10 matches purchase 11; click 13 (user 3) has no purchase
+      input.addData(Seq(ev(10, 0, 1, "click"), ev(11, 5, 1, "purchase"), ev(13, 0, 3, "click")))
+      q.processAllAvailable()
+      input.addData(Seq(ev(98, 120, 9, "purchase"), ev(99, 120, 9, "click")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("t_rojoin")
+        .collect().map(r => (Option(r.get(0)), r.getLong(1))).toSet
+      assert(got.contains((Some(11L), 10L)), s"matched row missing: $got")
+      assert(got.contains((None, 13L)),
+        s"unmatched click must emit null-padded after watermark: $got")
+    } finally q.stop()
+  }
+
   test("transformWithState sessionization matches batch session_window") {
     import spark.implicits._
     val sentinel = Event(-1L, new Timestamp(batchEvents.last.ts.getTime + 10L * 24 * 3600 * 1000),
