@@ -156,6 +156,63 @@ class OperatorSpec extends SparkSpecBase {
     assert(df.count() > 0)
   }
 
+  test("dot_f null semantics mirror the HOF idiom (null array, null element, ragged lengths)") {
+    Tables.ensureFunctions(spark)
+    // every case where zip_with padding / acc+null poisons the fold must
+    // be null through dot_f too — the precondition of FoldDotProduct
+    val r = spark.sql(
+      """SELECT
+        |  dot_f(CAST(NULL AS ARRAY<DOUBLE>), array(1D)) AS null_arr,
+        |  dot_f(array(1D, CAST(NULL AS DOUBLE)), array(1D, 2D)) AS null_elem,
+        |  dot_f(array(1D, 2D), array(3D)) AS ragged,
+        |  aggregate(zip_with(array(1D, 2D), array(3D), (x, y) -> x * y),
+        |            CAST(0 AS DOUBLE), (acc, v) -> acc + v + 0D) AS ragged_hof,
+        |  dot_f(array(1D, 2D), array(3D, 4D)) AS ok""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.isNullAt(3), "HOF idiom itself must be null on ragged input")
+    assert(r.getDouble(4) == 11.0)
+  }
+
+  test("md5_long and count_in equal their portable idioms") {
+    Tables.register(spark, sf)
+    val rows = spark.sql(
+      """SELECT md5_long(text) AS fast,
+        |       CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) AS portable,
+        |       count_in(split(text, ' '), 'the', 'a', 'of', 'and') AS cfast,
+        |       size(filter(split(text, ' '),
+        |                   x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) AS cportable
+        |FROM documents""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "md5_long mismatch")
+      assert(r.getInt(2) == r.getInt(3), "count_in mismatch")
+    }
+    assert(spark.sql("SELECT count_in(CAST(NULL AS ARRAY<STRING>), 'x') AS n").head().isNullAt(0))
+  }
+
+  test("q_topk_perkey plans a WindowGroupLimit (partial top-k before the shuffle)") {
+    val plan = SparkEntry.queries("q_topk_perkey")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
+  test("SessionCache memoizes one persisted DF per key and clear() releases it") {
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    def build = {
+      built.incrementAndGet()
+      Tables.load(spark, sf, "nation").groupBy("n_regionkey").count().persist()
+    }
+    val a = SessionCache.memo(spark, "spec-key")(build)
+    val b = SessionCache.memo(spark, "spec-key")(build)
+    assert(built.get() == 1, "memo must build once per (session, key)")
+    assert(a eq b)
+    a.count()
+    assert(a.storageLevel.useMemory, "memoized DF should be persisted")
+    SessionCache.clear(spark)
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clear() must unpersist")
+  }
+
   test("filter/column pruning reach the parquet scan") {
     val df = Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity")
