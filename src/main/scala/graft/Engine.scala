@@ -37,6 +37,10 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Coalesce to the advisory size rather than preserving parallelism:
+      // the production-recommended posture — fewer, right-sized reducers
+      // (at toy scale it also removes per-task scheduling overhead).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Streaming state at 100 TB: RocksDB keeps per-executor state off
       // the JVM heap with incremental checkpoints (SURVEY §2.9 state
