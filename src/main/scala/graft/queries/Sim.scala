@@ -148,5 +148,43 @@ object Sim extends QModule {
     Some(lshTopkSql("duck")),
     bench = true)
 
-  val defs: Seq[QDef] = Seq(qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk)
+  /** Element-wise vector mean per label — the coarse-quantizer training
+    * step of an IVF index (PAPERS.md ANN survey): centroid[pos] =
+    * avg(embedding[pos]) over the group, components quantized to 1e-8.
+    *
+    * Scale shape: posexplode fans each row out ×dims, but the per-(label,
+    * pos) aggregation is partial/map-side-combinable, so the shuffle
+    * carries (labels × dims) partials per map partition — independent of
+    * corpus size.
+    *
+    * Determinism: the decimal-cast pattern ([[graft.Exact]]) is NOT
+    * engine-portable for float inputs (both engines' float→decimal casts
+    * are lossy in different ways), so components are fixed-pointed as
+    * `floor(v * 1e8 + 0.5)` — pure IEEE double ops that every engine
+    * evaluates bit-identically (no round-half-up string mediation) — then
+    * summed as exact integers: merge-order independent, ANSI-loud beyond
+    * ~9e10 rows per (label,pos) group, and 1e-8 quantization sits below
+    * float's ~1e-7 component precision.
+    */
+  val qSimCentroid = QDef(
+    "q_sim_centroid",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.load(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg((sum(expr("CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)"))
+          .cast("double") / 1e8 / count(lit(1))).as("c"))
+        .select("label", "pos", "c")
+    },
+    Some("""
+      SELECT label, CAST(pos AS INTEGER) AS pos,
+             CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e8 / COUNT(*) AS c
+      FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings)
+      GROUP BY label, pos"""))
+
+  val defs: Seq[QDef] = Seq(qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid)
 }

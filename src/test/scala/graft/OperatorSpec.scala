@@ -55,6 +55,21 @@ class OperatorSpec extends SparkSpecBase {
     assert(math.abs(out("B") - 5.5) < 1e-12)
   }
 
+  test("Exact pattern and WeightedAvg fail loudly on overflow, never wrap") {
+    import spark.implicits._
+    // ANSI cast: a value beyond DECIMAL(28,4)'s integral headroom errors
+    val e = intercept[Exception] {
+      Seq(1e25).toDF("v").agg(Exact.dsum(col("v"))).collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("NUMERIC_VALUE_OUT_OF_RANGE")
+      || e.getMessage.toLowerCase.contains("cannot be represented"),
+      s"expected ANSI overflow error, got: ${e.getMessage}")
+    // WeightedAvg buffers use add/multiplyExact — overflow throws
+    intercept[ArithmeticException] {
+      WeightedAvg.reduce((Long.MaxValue, 0L), ("x", 1.0e16, 1.0e16))
+    }
+  }
+
   test("FakeDecoder is deterministic and within range") {
     val (w, h) = Multimodal.FakeDecoder.decode("hello".getBytes("UTF-8"))
     val (w2, h2) = Multimodal.FakeDecoder.decode("hello".getBytes("UTF-8"))
