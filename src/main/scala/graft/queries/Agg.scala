@@ -132,6 +132,34 @@ object Agg extends QModule {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
   val qAggGsets = QDef("q_agg_gsets", sqlQ(gsetsSql), Some(gsetsSql))
 
+  /** Bitwise and boolean aggregates (SURVEY §2.8 aggregate names). One
+    * shared ANSI text; both families are associative/commutative integer
+    * or boolean reductions, so they are merge-order safe by construction.
+    */
+  private val bitsSql = """
+      SELECT l_returnflag,
+        bit_and(l_orderkey) AS b_and,
+        bit_or(l_orderkey) AS b_or,
+        bit_xor(l_orderkey) AS b_xor,
+        bool_and(l_quantity > 0) AS all_pos,
+        bool_or(l_discount > CAST(0.05 AS DOUBLE)) AS any_disc
+      FROM lineitem GROUP BY l_returnflag"""
+  val qAggBits = QDef("q_agg_bits", sqlQ(bitsSql), Some(bitsSql))
+
+  /** grouping() / grouping_id() over grouping sets — the Expand-metadata
+    * functions (reference `CAT/expressions/grouping.scala`); bit order
+    * (first listed column = MSB) agrees across engines.
+    */
+  private val gidSql = """
+      SELECT coalesce(l_returnflag, '(all)') AS rflag,
+             coalesce(l_linestatus, '(all)') AS lstatus,
+             CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+             CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+             COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+  val qAggGroupingId = QDef("q_agg_groupingid", sqlQ(gidSql), Some(gidSql))
+
   val qAggPivot = QDef(
     "q_agg_pivot",
     (s, d) =>
@@ -223,5 +251,6 @@ object Agg extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
-    qAggPivot, qAggStats, qAggCollect, qAggPercentile, qAggApprox)
+    qAggBits, qAggGroupingId, qAggPivot, qAggStats, qAggCollect,
+    qAggPercentile, qAggApprox)
 }

@@ -49,6 +49,22 @@ object Pipeline extends QModule {
       ORDER BY lost DESC, c_custkey LIMIT 20"""
   val qTpchQ10 = QDef("q_tpch_q10", sqlQ(q10Sql), Some(q10Sql))
 
+  /** TPC-H Q18 shape: large-volume customers — HAVING over an aggregate
+    * subquery feeding a semi join, then a 3-table join + re-aggregation.
+    */
+  private val q18Sql = s"""
+      SELECT c_name, c_custkey, o_orderkey,
+             ${Exact.dsumSql("l_quantity")} AS sum_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(28,4))) > 250)
+      GROUP BY c_name, c_custkey, o_orderkey
+      ORDER BY sum_qty DESC, o_orderkey LIMIT 20"""
+  val qTpchQ18 = QDef("q_tpch_q18", sqlQ(q18Sql), Some(q18Sql))
+
   /** The flagship training-data pipeline in ONE plan: language filter →
     * quality scoring → fingerprint dedup (keep min doc_id) → embedding
     * join → per-language corpus stats. Every stage is the oracle-verified
@@ -108,5 +124,5 @@ object Pipeline extends QModule {
     Some(pipelineSql("duck")),
     bench = true)
 
-  val defs: Seq[QDef] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qPipelineClean)
+  val defs: Seq[QDef] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qTpchQ18, qPipelineClean)
 }

@@ -100,6 +100,48 @@ object Stats extends QModule {
       WHERE strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 < 4
       GROUP BY o_orderstatus"""))
 
+  /** Linear-regression family (SURVEY §2.8 regr_*): slope, intercept and
+    * r² from exact decimal power sums — the same mirrored-double-tree
+    * pattern as [[qStatCovCorr]], so values are engine-equal and
+    * merge-order independent. One shared ANSI text runs in both engines.
+    */
+  private val regrSql = """
+      WITH g AS (
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS regr_n,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+        ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+          ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      FROM g"""
+  val qStatRegr = QDef("q_stat_regr", sqlQ(regrSql), Some(regrSql))
+
+  /** The built-in regr_* SQL names (regr_count/avgx/avgy/slope/intercept/
+    * r2) — double merge order makes the float ones run-dependent in the
+    * last ulps, so rows-only like [[qStatBuiltin]]; q_stat_regr is the
+    * exact-valued equivalent.
+    */
+  val qStatRegrBuiltin = QDef(
+    "q_stat_regr_builtin",
+    sqlQ("""
+      SELECT l_returnflag,
+        regr_count(l_extendedprice, l_quantity) AS rc,
+        regr_avgx(l_extendedprice, l_quantity) AS rax,
+        regr_avgy(l_extendedprice, l_quantity) AS ray,
+        regr_slope(l_extendedprice, l_quantity) AS rs,
+        regr_intercept(l_extendedprice, l_quantity) AS ri,
+        regr_r2(l_extendedprice, l_quantity) AS rr2
+      FROM lineitem GROUP BY l_returnflag"""),
+    None)
+
   val defs: Seq[QDef] = Seq(
-    qStatCrosstab, qStatCovCorr, qStatBuiltin, qStatApproxQuantile, qStatSampleBy)
+    qStatCrosstab, qStatCovCorr, qStatBuiltin, qStatApproxQuantile, qStatSampleBy,
+    qStatRegr, qStatRegrBuiltin)
 }

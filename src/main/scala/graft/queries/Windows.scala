@@ -188,6 +188,20 @@ object Windows extends QModule {
         CAST(NULL AS DOUBLE) AS w_sum
       FROM customer"""))
 
+  /** first_value / last_value / nth_value over a full-partition frame with
+    * a total (unique-key) ordering — deterministic by construction. One
+    * shared ANSI text for both engines.
+    */
+  private val firstLastSql = """
+      SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS ln,
+        first_value(l_partkey) OVER w AS first_pk,
+        last_value(l_partkey) OVER w AS last_pk,
+        nth_value(l_partkey, 2) OVER w AS second_pk
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+  val qWinFirstLast = QDef("q_win_firstlast", sqlQ(firstLastSql), Some(firstLastSql))
+
   /** Keep-latest-per-key dedup via row_number (the window-dedup idiom). */
   val qWinLatest = QDef(
     "q_win_latest",
@@ -208,5 +222,5 @@ object Windows extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qWinRank, qWinLagLead, qWinRunsum, qWinRange, qWinNtile, qWinNtileDist,
-    qWinFrames, qWinLatest)
+    qWinFrames, qWinFirstLast, qWinLatest)
 }
