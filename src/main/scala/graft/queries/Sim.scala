@@ -186,5 +186,67 @@ object Sim extends QModule {
             FROM embeddings)
       GROUP BY label, pos"""))
 
-  val defs: Seq[QDef] = Seq(qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid)
+  /** IVF cell assignment — the second half of the IVF index build
+    * ([[qSimCentroid]] trains the coarse quantizer, this assigns every
+    * vector to its nearest centroid). At query time an ANN search probes
+    * only the closest cells, which is the same candidate-bounding idea as
+    * the LSH path with data-adaptive cells.
+    *
+    * Scale shape: the centroid table is labels × dims — tiny at any
+    * corpus size — so the assignment join broadcasts it and the scan
+    * stays shuffle-free; argmin is a per-vector WindowGroupLimit-able
+    * row_number over #labels candidates.
+    *
+    * Determinism: distances are the ORDERED squared-difference fold (the
+    * same left-fold contract as [[dot]]) over float→double promoted
+    * elements and the exactly-reproducible centroid components, with a
+    * (d2, label) tiebreak.
+    */
+  private def ivfSql(dialect: String): String = {
+    val compRel = dialect match {
+      case "spark" => """
+        SELECT label, pos,
+               CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 / COUNT(*) AS c
+        FROM (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings)
+        GROUP BY label, pos"""
+      case _ => """
+        SELECT label, CAST(pos AS INTEGER) AS pos,
+               CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 / COUNT(*) AS c
+        FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
+              FROM embeddings)
+        GROUP BY label, pos"""
+    }
+    val centSel = dialect match {
+      case "spark" =>
+        "SELECT label AS c_label, transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS ce FROM comp GROUP BY label"
+      case _ =>
+        "SELECT label AS c_label, list(c ORDER BY pos) AS ce FROM comp GROUP BY label"
+    }
+    val d2 = dialect match {
+      case "spark" =>
+        "aggregate(zip_with(e.embedding, c.ce, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      case _ =>
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(e.embedding, c.ce), " +
+          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), " +
+          "(acc, v) -> acc + v)"
+    }
+    s"""
+      WITH comp AS ($compRel),
+      cent AS ($centSel),
+      dist AS (SELECT e.vec_id, c.c_label, $d2 AS d2
+               FROM embeddings e CROSS JOIN cent c),
+      r AS (SELECT vec_id, c_label, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+            FROM dist)
+      SELECT vec_id, c_label AS cell, d2 FROM r WHERE rn = 1"""
+  }
+
+  val qSimIvf = QDef(
+    "q_sim_ivf",
+    sqlQ(ivfSql("spark")),
+    Some(ivfSql("duck")))
+
+  val defs: Seq[QDef] = Seq(
+    qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf)
 }
