@@ -160,6 +160,19 @@ object Agg extends QModule {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
   val qAggGroupingId = QDef("q_agg_groupingid", sqlQ(gidSql), Some(gidSql))
 
+  /** Ordered string aggregation (SQL:2023 LISTAGG, new in Spark 4.0) —
+    * deterministic because the within-group ordering is total.
+    */
+  val qAggListagg = QDef(
+    "q_agg_listagg",
+    sqlQ("""
+      SELECT s_nationkey,
+             listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS names
+      FROM supplier GROUP BY s_nationkey"""),
+    Some("""
+      SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+      FROM supplier GROUP BY s_nationkey"""))
+
   val qAggPivot = QDef(
     "q_agg_pivot",
     (s, d) =>
@@ -251,6 +264,6 @@ object Agg extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
-    qAggBits, qAggGroupingId, qAggPivot, qAggStats, qAggCollect,
+    qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
     qAggPercentile, qAggApprox)
 }

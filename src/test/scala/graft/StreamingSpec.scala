@@ -252,6 +252,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream full-outer join preserves unmatched rows on both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val t0 = 100L * 24 * 3600 * 1000
+    def ev(id: Long, offsetMin: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(t0 + offsetMin * 60000), user, typ, 1.0)
+    val input = MemoryStream[Event]
+    val q = Streams.purchaseClickJoin(input.toDF(), "full_outer")
+      .select("p_id", "c_id")
+      .writeStream.format("memory").queryName("t_fojoin").outputMode(OutputMode.Append)
+      .start()
+    try {
+      // matched pair (user 1); lone purchase (user 2); lone click (user 3)
+      input.addData(Seq(ev(10, 0, 1, "click"), ev(11, 5, 1, "purchase"),
+        ev(12, 5, 2, "purchase"), ev(13, 0, 3, "click")))
+      q.processAllAvailable()
+      input.addData(Seq(ev(98, 120, 9, "purchase"), ev(99, 120, 9, "click")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = spark.table("t_fojoin")
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+      assert(got.contains((Some(11L), Some(10L))), s"matched row missing: $got")
+      assert(got.contains((Some(12L), None)), s"unmatched purchase missing: $got")
+      assert(got.contains((None, Some(13L))), s"unmatched click missing: $got")
+    } finally q.stop()
+  }
+
   test("transformWithState sessionization matches batch session_window") {
     import spark.implicits._
     val sentinel = Event(-1L, new Timestamp(batchEvents.last.ts.getTime + 10L * 24 * 3600 * 1000),
