@@ -228,6 +228,34 @@ class OperatorSpec extends SparkSpecBase {
       "clear() must unpersist")
   }
 
+  test("seed-based sample and sampleBy are reproducible for a fixed seed and partitioning") {
+    val df = Tables.load(spark, sf, "orders")
+    val a = df.sample(0.3, seed = 42).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val b = df.sample(0.3, seed = 42).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < df.count())
+    val fr = Map("F" -> 0.5, "O" -> 0.1)
+    val s1 = df.stat.sampleBy("o_orderstatus", fr, 7L).count()
+    val s2 = df.stat.sampleBy("o_orderstatus", fr, 7L).count()
+    assert(s1 == s2 && s1 > 0)
+  }
+
+  test("all three aggregate exec variants plan as expected") {
+    val num = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(num.contains("HashAggregate"), s"numeric agg should hash:\n$num")
+    // min(string) buffers are var-width -> falls back to SortAggregate
+    val str = Tables.load(spark, sf, "customer")
+      .groupBy("c_nationkey").agg(min("c_name"))
+      .queryExecution.executedPlan.toString
+    assert(str.contains("SortAggregate"), s"string min should sort-agg:\n$str")
+    // collect_list buffers are objects -> ObjectHashAggregate
+    val obj = Tables.load(spark, sf, "nation")
+      .groupBy("n_regionkey").agg(collect_list("n_name"))
+      .queryExecution.executedPlan.toString
+    assert(obj.contains("ObjectHashAggregate"), s"collect_list should object-hash:\n$obj")
+  }
+
   test("filter/column pruning reach the parquet scan") {
     val df = Tables.load(spark, sf, "lineitem")
       .filter(col("l_quantity") > 45).select("l_orderkey", "l_quantity")
