@@ -51,14 +51,29 @@ object Bench {
       val s = xs.sorted
       s((s.size - 1) / 2)
     }
+    def fmt(d: Double): String = f"$d%.4f"
     val perQuery = names.map { n =>
       n -> (if (failed(n)) -1.0 else median(times(n)))
     }
-    val qs = perQuery.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = perQuery.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = perQuery.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"rounds":$rounds,"sf":"$sfDir"}""")
+    // Raw per-round times (chronological) let a reader adjudicate host
+    // noise without a re-run: medians hide a run where one round took 3x.
+    val raw = names.map { n =>
+      val xs = times.getOrElse(n, Nil).reverse // prepended per round -> reverse to chronological
+      "\"" + n + "\":" + xs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Noise canary: a trivial fixed-cost query (top-k over a small sorted
+    // scan) whose marginal compute is ~0 — its time IS the host's per-query
+    // scheduling floor. noise_factor = canary max/min across rounds; >2
+    // means the run landed on a noisy window and the total overstates cost.
+    val canaryName = "q_sort_topk"
+    val canaryRaw = times.getOrElse(canaryName, Nil)
+    val noiseFactor =
+      if (canaryRaw.size >= 2 && canaryRaw.min > 0) canaryRaw.max / canaryRaw.min else 1.0
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"rounds":$rounds,"rounds_raw":$raw,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

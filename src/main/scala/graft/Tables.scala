@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Loads the driver-provided parquet tables (TESTDATA.md / FIXTURES.md) and
   * registers them as temp views. Spark-first: plain `spark.read.parquet`
@@ -99,31 +98,64 @@ object Tables {
   *
   * Distributed double sums are merge-order-dependent; at 100 TB the partial
   * merge order is never stable run-to-run. The fixture money/quantity
-  * columns carry ≤2 decimal digits, so casting each value to DECIMAL before
-  * summing is lossless, the decimal sum is exact under ANY partitioning, and
-  * the final cast back to DOUBLE is bit-identical to the DuckDB oracle's
-  * same computation. This is also the right call at scale: Spark's decimal
-  * sum stays in whole-stage codegen with partial (map-side) aggregation.
+  * columns are fixed-point (≤2 decimal digits), so each value maps to an
+  * exact integer count of 10^-scale units via `FLOOR(v * 10^scale + 0.5)` —
+  * pure IEEE double ops that are bit-identical in Spark and DuckDB (unlike
+  * double→DECIMAL casts, which the two engines round differently; see the
+  * q_sim_centroid fixed-point note). The BIGINT sum is exact and associative
+  * under ANY partitioning, and the single final `/10^scale` double division
+  * is one correctly-rounded op mirrored on both sides.
   *
-  * Overflow: Spark 4 runs ANSI mode by default, so a value beyond
-  * DECIMAL(28,scale) fails the query loudly instead of silently nulling
-  * out of the sum (the DuckDB oracle likewise raises) — headroom is 10^24
-  * per value and 10^34 per group sum, far above the fixtures' magnitudes;
-  * bump the precision constant if a deployment ever carries more.
+  * Why BIGINT units and not DECIMAL(28,scale) (rounds 1–3): same exactness,
+  * ~2× cheaper — the long sum stays on HashAggregate's primitive fast path
+  * with map-side partial aggregation, where decimal accumulation pays
+  * Decimal-object arithmetic per row (measured: decimal28 sum 1.4 s vs
+  * long-units 0.7 s on 600k rows).
+  *
+  * Overflow: Spark 4 runs ANSI mode by default, so a value whose unit count
+  * exceeds BIGINT (|v| > ~9.2e14 at scale 4) or a group sum beyond BIGINT
+  * fails loudly instead of wrapping (the DuckDB oracle sums to HUGEINT —
+  * headroom there is 10^34). A 100 TB deployment summing > 9.2e18 units per
+  * group should raise `scale` down or switch the call site to the decimal
+  * form; the fixtures are 9 orders of magnitude below the line.
   */
 object Exact {
+  private def unitsPerOne(scale: Int): Double = math.pow(10, scale) // exact for scale <= 15
+
+  /** Overflow guard bound, in units. Spark's `floor(double)` is a silent
+    * C-style clamp to BIGINT (no ANSI error), so the range check must be
+    * explicit — one codegen'd compare per row. Out-of-range values route to
+    * a string→BIGINT cast that is non-foldable (references the value) and
+    * raises loudly in BOTH engines; conservative vs Long.MaxValue (9.22e18).
+    */
+  private val GuardUnits = 9.0e18
+
   /** Exact sum of a fixed-point double column, returned as DOUBLE. */
-  def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(28, scale))).cast("double")
+  def dsum(c: Column, scale: Int = 4): Column = {
+    val f = unitsPerOne(scale)
+    val x = c * lit(f) + lit(0.5)
+    val units = when(c.isNull, lit(null).cast("long"))
+      .when(abs(x) < lit(GuardUnits), floor(x))
+      .otherwise(concat(lit("dsum overflow: "), c.cast("string")).cast("long"))
+    (sum(units).cast("double") / lit(f))
+  }
 
   /** Deterministic average = exact sum / count (single double division). */
   def davg(c: Column, scale: Int = 4): Column =
     dsum(c, scale) / count(c)
 
-  /** Oracle-side SQL fragment mirroring [[dsum]]. */
-  def dsumSql(e: String, scale: Int = 4): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(28,$scale))) AS DOUBLE)"
+  /** SQL fragment mirroring [[dsum]], in the common Spark∩DuckDB dialect —
+    * the same text runs on the engine and the oracle. Parenthesized so it
+    * embeds safely in larger expressions (COALESCE, comparisons).
+    */
+  def dsumSql(e: String, scale: Int = 4): String = {
+    val x = s"(($e) * 1e$scale + 0.5)"
+    s"""(CAST(SUM(CASE WHEN ($e) IS NULL THEN NULL
+       |  WHEN ABS($x) < 9e18 THEN CAST(FLOOR($x) AS BIGINT)
+       |  ELSE CAST(CONCAT('dsum overflow: ', CAST(($e) AS STRING)) AS BIGINT)
+       |  END) AS DOUBLE) / 1e$scale)""".stripMargin
+  }
 
   def davgSql(e: String, scale: Int = 4): String =
-    s"${dsumSql(e, scale)} / COUNT($e)"
+    s"(${dsumSql(e, scale)} / COUNT($e))"
 }

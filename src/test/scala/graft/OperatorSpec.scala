@@ -57,13 +57,14 @@ class OperatorSpec extends SparkSpecBase {
 
   test("Exact pattern and WeightedAvg fail loudly on overflow, never wrap") {
     import spark.implicits._
-    // ANSI cast: a value beyond DECIMAL(28,4)'s integral headroom errors
+    // A value beyond BIGINT's unit headroom routes to a loud string->BIGINT
+    // cast error (Spark's floor(double) would otherwise clamp silently)
     val e = intercept[Exception] {
       Seq(1e25).toDF("v").agg(Exact.dsum(col("v"))).collect()
     }
-    assert(e.getMessage.toUpperCase.contains("NUMERIC_VALUE_OUT_OF_RANGE")
-      || e.getMessage.toLowerCase.contains("cannot be represented"),
-      s"expected ANSI overflow error, got: ${e.getMessage}")
+    assert(e.getMessage.contains("dsum overflow")
+      || e.getMessage.toUpperCase.contains("CAST_INVALID_INPUT"),
+      s"expected loud overflow error, got: ${e.getMessage}")
     // WeightedAvg buffers use add/multiplyExact — overflow throws
     intercept[ArithmeticException] {
       WeightedAvg.reduce((Long.MaxValue, 0L), ("x", 1.0e16, 1.0e16))
