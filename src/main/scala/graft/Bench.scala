@@ -74,6 +74,8 @@ object Bench {
     val noiseFactor =
       if (canaryRaw.size >= 2 && canaryRaw.min > 0) canaryRaw.max / canaryRaw.min else 1.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"rounds":$rounds,"rounds_raw":$raw,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"sf":"$sfDir"}""")
+    SessionCache.clear(spark)
+    Tables.clear(spark)
     spark.stop()
   }
 }

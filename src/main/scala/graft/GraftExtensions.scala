@@ -1,6 +1,5 @@
 package graft
 
-import graft.functions.DotF
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -13,10 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    graft.functions.Natives.all.foreach { case (name, builder) =>
+    graft.functions.Natives.all.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo(classOf[DotF].getName, name),
+        new ExpressionInfo(cls.getName, name),
         builder))
     }
     ext.injectOptimizerRule(_ => graft.optimizer.FoldDotProduct)

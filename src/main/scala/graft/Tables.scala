@@ -21,24 +21,22 @@ object Tables {
     * every call, and `register` re-analyzes 10 views — at 28 bench queries
     * × 10 tables that fixed overhead dominated wall-clock (BENCH_r02). A
     * resolved DataFrame is immutable and session-bound, so caching it per
-    * (session, dir, name) is safe; weak keys let test sessions be GC'd.
-    * This caches plan *resolution* only — no data is persisted, so it is
-    * equally valid on a 1000-executor cluster (it is what a catalog does).
+    * (session, dir, name) is safe; eviction (stopped-context sweep +
+    * explicit [[clear]]) lives in [[SessionKeyed]]. This caches plan
+    * *resolution* only — no data is persisted, so it is equally valid on a
+    * 1000-executor cluster (it is what a catalog does).
     */
   private final class SessionState {
     val dfs = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
     @volatile var registeredDir: String = null
     @volatile var functionsEnsured: Boolean = false
   }
-  private val sessions =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, SessionState]())
+  private val sessions = new SessionKeyed[SessionState]
   private def state(spark: SparkSession): SessionState =
-    sessions.synchronized {
-      var st = sessions.get(spark)
-      if (st == null) { st = new SessionState; sessions.put(spark, st) }
-      st
-    }
+    sessions.get(spark)(_ => new SessionState)
+
+  /** Drop this session's plan memo (nothing persisted — no blocks to free). */
+  def clear(spark: SparkSession): Unit = sessions.remove(spark)
 
   /** events.ts is physically INT64 TIMESTAMP(NANOS); with
     * `spark.sql.legacy.parquet.nanosAsLong` Spark reads it as a nanos-since-
@@ -85,7 +83,7 @@ object Tables {
     val st = state(spark)
     if (!st.functionsEnsured) {
       val reg = spark.sessionState.functionRegistry
-      graft.functions.Natives.all.foreach { case (name, builder) =>
+      graft.functions.Natives.all.foreach { case (name, _, builder) =>
         if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
           reg.createOrReplaceTempFunction(name, builder, "built-in")
       }

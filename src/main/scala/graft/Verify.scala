@@ -17,6 +17,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     run(spark, sfDir, outDir)
+    SessionCache.clear(spark)
+    Tables.clear(spark)
     spark.stop()
   }
 

@@ -143,8 +143,11 @@ object Natives {
       s"count_in membership values must be string literals, got $other")
   }
 
-  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_f" -> (exprs => DotF(exprs(0), exprs(1))),
-    "md5_long" -> (exprs => Md5Long(exprs(0))),
-    "count_in" -> (exprs => CountIn(exprs.head, exprs.tail.map(str))))
+  /** (name, implementing class, builder) — the class feeds ExpressionInfo
+    * so DESCRIBE FUNCTION attributes each function to its own Expression.
+    */
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("dot_f", classOf[DotF], exprs => DotF(exprs(0), exprs(1))),
+    ("md5_long", classOf[Md5Long], exprs => Md5Long(exprs(0))),
+    ("count_in", classOf[CountIn], exprs => CountIn(exprs.head, exprs.tail.map(str))))
 }

@@ -137,12 +137,17 @@ object Windows extends QModule {
         .withColumn("rn", row_number().over(wIn) + col("off"))
         .selectExpr(
           "c_custkey",
-          // ntile(4): first (n % 4) tiles hold (n div 4)+1 rows
+          // ntile(4): first (n % 4) tiles hold (n div 4)+1 rows. The ELSE
+          // branch is reachable only when n >= 4 (for n < 4 every rn
+          // satisfies the WHEN), but greatest(..,1) keeps the idiom total
+          // under ANSI for any table size (ADVICE r3).
           """CAST(CASE WHEN rn <= (n % 4) * (n div 4 + 1)
                        THEN (rn - 1) div (n div 4 + 1) + 1
-                       ELSE (n % 4) + (rn - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+                       ELSE (n % 4) + (rn - 1 - (n % 4) * (n div 4 + 1)) div greatest(n div 4, 1) + 1
                   END AS INT) AS quartile""",
-          "off / (n - 1) AS pr",       // rank()-1 = offset of the value group
+          // rank()-1 = offset of the value group; n = 1 pins pr to 0.0
+          // (the single-row percent_rank convention) instead of 0/0
+          "CASE WHEN n = 1 THEN 0.0 ELSE off / (n - 1) END AS pr",
           "(off + cnt) / n AS cd")
     },
     Some("""

@@ -86,7 +86,8 @@ private[sources] case class ShapedOffset(n: Long) extends Offset {
 }
 
 private[sources] case class ShapedRange(
-    start: Long, end: Long, topic: String, startMs: Long, stepMs: Long)
+    start: Long, end: Long, part: Int, numParts: Int,
+    topic: String, startMs: Long, stepMs: Long)
   extends InputPartition
 
 private[sources] class KafkaShapedStream(
@@ -102,12 +103,13 @@ private[sources] class KafkaShapedStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[ShapedOffset].n
     val hi = end.asInstanceOf[ShapedOffset].n
-    // one slice per "topic-partition", like the Kafka source's consumer layout
+    // One reader per "topic-partition", like the Kafka source's consumer
+    // layout. Records are assigned round-robin (i % numPartitions) so a
+    // record's partition id is stable across micro-batch boundaries — the
+    // emitted (partition, offset) pair then matches the consumer layout
+    // being mimicked: offset i/numPartitions is sequential per partition.
     (0 until numPartitions).map { p =>
-      val span = hi - lo
-      val s = lo + span * p / numPartitions
-      val e = lo + span * (p + 1) / numPartitions
-      ShapedRange(s, e, topic, startMs, stepMs): InputPartition
+      ShapedRange(lo, hi, p, numPartitions, topic, startMs, stepMs): InputPartition
     }.toArray
   }
 
@@ -115,16 +117,20 @@ private[sources] class KafkaShapedStream(
     (partition: InputPartition) => {
       val r = partition.asInstanceOf[ShapedRange]
       new PartitionReader[InternalRow] {
-        private var i = r.start - 1
-        override def next(): Boolean = { i += 1; i < r.end }
+        // first global index >= start owned by this partition, step numParts
+        private var i = {
+          val first = r.start + ((r.part - r.start % r.numParts + r.numParts) % r.numParts)
+          first - r.numParts
+        }
+        override def next(): Boolean = { i += r.numParts; i < r.end }
         override def get(): InternalRow = {
           val valueBytes = KafkaShaped.payload(i).getBytes("UTF-8")
           InternalRow(
             java.lang.Long.toString(i).getBytes("UTF-8"), // key
             valueBytes, // value
             UTF8String.fromString(r.topic),
-            (i % 4).toInt, // partition
-            i, // offset
+            r.part, // partition — the slice this reader consumes
+            i / r.numParts, // per-partition offset, monotonic across batches
             (r.startMs + i * r.stepMs) * 1000L, // timestamp (micros)
             0) // timestampType = CREATE_TIME
         }

@@ -124,14 +124,23 @@ object Streams {
           val us = micros(e.ts)
           if (cur == null) cur = SessState(us, us, 1, e.value)
           else if (us - cur.lastUs < gapUs) // strict <, matching session_window
-            cur = SessState(cur.startUs, us, cur.n + 1, cur.total + e.value)
+            // min/max union: a late-but-within-watermark row from a later
+            // micro-batch merges without moving lastUs backward or losing
+            // an earlier startUs (ADVICE r3). With gap >= watermark delay
+            // such a row can never be a separate EARLIER session (it would
+            // need ts < startUs - gap, below the watermark), so the union
+            // is exactly batch session_window's.
+            cur = SessState(math.min(cur.startUs, us), math.max(cur.lastUs, us),
+              cur.n + 1, cur.total + e.value)
           else {
             out += SessionOut(userId, cur.startUs, cur.n, cur.total)
             cur = SessState(us, us, 1, e.value)
           }
         }
-        state.update(cur)
-        state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000 + 1)
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp((cur.lastUs + gapUs) / 1000 + 1)
+        }
       }
       out.iterator
     }
@@ -168,16 +177,22 @@ object Streams {
         val us = micros(e.ts)
         if (cur == null) cur = SessState(us, us, 1, e.value)
         else if (us - cur.lastUs < gapUs) // strict <, matching session_window
-          cur = SessState(cur.startUs, us, cur.n + 1, cur.total + e.value)
+          // min/max union — see sessionizeFMGWS: late-but-within-watermark
+          // merges can't move lastUs backward, and with gap >= watermark
+          // delay can never be a separate earlier session.
+          cur = SessState(math.min(cur.startUs, us), math.max(cur.lastUs, us),
+            cur.n + 1, cur.total + e.value)
         else {
           out += SessionOut(userId, cur.startUs, cur.n, cur.total)
           cur = SessState(us, us, 1, e.value)
         }
       }
-      sess.update(cur)
-      // one live timer per key: drop the stale one, arm at session close
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
-      getHandle.registerTimer((cur.lastUs + gapUs) / 1000 + 1)
+      if (cur != null) {
+        sess.update(cur)
+        // one live timer per key: drop the stale one, arm at session close
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer((cur.lastUs + gapUs) / 1000 + 1)
+      }
       out.iterator
     }
 

@@ -227,6 +227,27 @@ class OperatorSpec extends SparkSpecBase {
     SessionCache.clear(spark)
     assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
       "clear() must unpersist")
+    // strong-keyed registry (ADVICE r3): clear() drops the session entry
+    // outright — a cloned session left behind costs one explicit clear,
+    // never a pinned-forever WeakHashMap entry
+    val clone = spark.newSession()
+    SessionCache.memo(clone, "clone-key")(
+      Tables.load(clone, sf, "region").persist())
+    val before = SessionCache.liveSessions
+    SessionCache.clear(clone)
+    assert(SessionCache.liveSessions == before - 1,
+      "clear() must remove the session's registry entry")
+  }
+
+  test("DESCRIBE FUNCTION attributes each native function to its own class") {
+    for ((name, cls) <- Seq(
+        "dot_f" -> classOf[graft.functions.DotF],
+        "md5_long" -> classOf[graft.functions.Md5Long],
+        "count_in" -> classOf[graft.functions.CountIn])) {
+      val desc = spark.sql(s"DESCRIBE FUNCTION $name")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains(cls.getName), s"$name attributed wrongly:\n$desc")
+    }
   }
 
   test("seed-based sample and sampleBy are reproducible for a fixed seed and partitioning") {

@@ -150,6 +150,34 @@ class SourcesSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("Kafka-shaped source emits a self-consistent (partition, offset) layout") {
+    // ADVICE r3: partition must reflect the slice the row came from, and
+    // offsets must be per-partition sequential — the layout format("kafka")
+    // would report for the same consumer assignment.
+    val raw = spark.readStream
+      .format("graft.sources.KafkaShapedProvider")
+      .option("numRecords", "90").option("numPartitions", "3")
+      .load()
+      .selectExpr("CAST(key AS STRING) AS k", "partition", "offset")
+    val q = raw.writeStream.format("memory").queryName("kafka_shaped_layout").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("kafka_shaped_layout")
+        .collect().map(r => (r.getString(0).toLong, r.getInt(1), r.getLong(2)))
+      assert(rows.length == 90)
+      assert(rows.map(_._2).toSet == Set(0, 1, 2))
+      rows.foreach { case (i, p, off) =>
+        assert(p == (i % 3).toInt, s"record $i in wrong partition $p")
+        assert(off == i / 3, s"record $i has offset $off, want ${i / 3}")
+      }
+      // per-partition offsets are dense and start at 0, like Kafka's
+      rows.groupBy(_._2).foreach { case (p, rs) =>
+        val offs = rs.map(_._3).sorted
+        assert(offs.sameElements(0L until offs.length), s"partition $p offsets not dense: $offs")
+      }
+    } finally q.stop()
+  }
+
   test("DDL passthrough: temp view + DESCRIBE + SHOW") {
     Tables.register(spark, sf)
     assert(spark.sql("SHOW VIEWS").count() >= 10)

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.streaming.Streams
 import graft.streaming.Streams.Event
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -382,5 +383,58 @@ class StreamingSpec extends SparkSpecBase {
       .select(col("user_id"), unix_micros(col("session_window.start")).as("ss_us"), col("cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
     assert(got == want)
+  }
+
+  test("console sink drives micro-batches (ConsoleSinkProvider path)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .writeStream.format("console").option("numRows", "3").option("truncate", "true")
+      .start()
+    try {
+      input.addData(batchEvents.take(20))
+      q.processAllAvailable()
+      assert(q.recentProgress.exists(_.numInputRows > 0),
+        "console sink processed no rows")
+    } finally q.stop()
+  }
+
+  test("sessionizers merge late-but-within-watermark events like batch session_window") {
+    // Regression for the ADVICE r3 merge bug: a later micro-batch delivers
+    // rows BEHIND the session's lastUs (and one behind its startUs) that are
+    // still above the watermark. The min/max union must neither move lastUs
+    // backward (premature close timer) nor lose the earlier session_start.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(sec: Long) = new Timestamp(sec * 1000L)
+    // batch 1: session (10000s .. 10300s); watermark after it = 10300-600 = 9700s
+    val b1 = Seq(Event(1, at(10000), 1, "click", 1.0), Event(2, at(10300), 1, "view", 2.0))
+    // batch 2: both rows are late w.r.t. lastUs yet above the 9700s watermark;
+    // 9900s even precedes session_start. All gaps < 30 min -> ONE session.
+    val b2 = Seq(Event(3, at(10100), 1, "click", 3.0), Event(4, at(9900), 1, "view", 4.0))
+    val sentinel = Seq(Event(-1, at(10L * 24 * 3600 + 20000), -999L, "view", 0.0))
+    val all = (b1 ++ b2).toDS()
+    val want = all
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("ss_us"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    assert(want == Set((1L, 9900L * 1000000, 4))) // sanity: batch merges all four
+    for ((nm, graph) <- Seq[(String, Dataset[Event] => Dataset[Streams.SessionOut])](
+        "t_late_fmgws" -> (ds => Streams.sessionizeFMGWS(ds)),
+        "t_late_tws" -> (ds => Streams.sessionizeTWS(ds)))) {
+      val input = MemoryStream[Event]
+      val q = graph(input.toDS())
+        .writeStream.format("memory").queryName(nm).outputMode(OutputMode.Append).start()
+      try {
+        Seq(b1, b2, sentinel).foreach { c => input.addData(c); q.processAllAvailable() }
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(nm).filter(col("user_id") =!= -999L)
+        .select("user_id", "session_start_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"$nm diverged from batch session_window: $got vs $want")
+    }
   }
 }
