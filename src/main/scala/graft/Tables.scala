@@ -142,17 +142,25 @@ object Exact {
   def davg(c: Column, scale: Int = 4): Column =
     dsum(c, scale) / count(c)
 
+  /** Exact BIGINT units-sum fragment, Spark∩DuckDB dialect — the integer
+    * core of [[dsumSql]], for call sites that keep arithmetic in exact
+    * units (window sums, threshold compares) before one final division.
+    * CAST pins DuckDB's HUGEINT sum back to Spark's BIGINT.
+    */
+  def usumSql(e: String, scale: Int = 4): String = {
+    val x = s"(($e) * 1e$scale + 0.5)"
+    s"""CAST(SUM(CASE WHEN ($e) IS NULL THEN NULL
+       |  WHEN ABS($x) < 9e18 THEN CAST(FLOOR($x) AS BIGINT)
+       |  ELSE CAST(CONCAT('dsum overflow: ', CAST(($e) AS STRING)) AS BIGINT)
+       |  END) AS BIGINT)""".stripMargin
+  }
+
   /** SQL fragment mirroring [[dsum]], in the common Spark∩DuckDB dialect —
     * the same text runs on the engine and the oracle. Parenthesized so it
     * embeds safely in larger expressions (COALESCE, comparisons).
     */
-  def dsumSql(e: String, scale: Int = 4): String = {
-    val x = s"(($e) * 1e$scale + 0.5)"
-    s"""(CAST(SUM(CASE WHEN ($e) IS NULL THEN NULL
-       |  WHEN ABS($x) < 9e18 THEN CAST(FLOOR($x) AS BIGINT)
-       |  ELSE CAST(CONCAT('dsum overflow: ', CAST(($e) AS STRING)) AS BIGINT)
-       |  END) AS DOUBLE) / 1e$scale)""".stripMargin
-  }
+  def dsumSql(e: String, scale: Int = 4): String =
+    s"(CAST(${usumSql(e, scale)} AS DOUBLE) / 1e$scale)"
 
   def davgSql(e: String, scale: Int = 4): String =
     s"(${dsumSql(e, scale)} / COUNT($e))"

@@ -65,6 +65,77 @@ object Pipeline extends QModule {
       ORDER BY sum_qty DESC, o_orderkey LIMIT 20"""
   val qTpchQ18 = QDef("q_tpch_q18", sqlQ(q18Sql), Some(q18Sql))
 
+  /** TPC-DS Q1 shape (windowed agg over a CTE): customers whose returned
+    * revenue exceeds 1.2× their nation's average. Stresses CTE reuse, a
+    * 3-table join feeding an aggregate, a window over the AGGREGATE's
+    * output (tiny — one row per customer), and top-k. All arithmetic stays
+    * in exact BIGINT units until the final projection, so the 1.2×
+    * threshold compare is one correctly-rounded double op on both engines
+    * (`x * n > 1.2 * s` instead of AVG, whose merge order is unstable).
+    * Scale: the window partitions by nation over per-customer rows — at
+    * 100 TB that is #customers rows, not #lineitems, and hash-partitions
+    * across the cluster.
+    */
+  private val dsQ1Sql = s"""
+      WITH cust_returns AS (
+        SELECT c_custkey, c_nationkey,
+               ${Exact.usumSql("l_extendedprice * (1 - l_discount)", 4)} AS units
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_nationkey)
+      SELECT c_custkey, CAST(units AS DOUBLE) / 1e4 AS total_ret
+      FROM (SELECT c_custkey, units,
+                   CAST(SUM(units) OVER (PARTITION BY c_nationkey) AS BIGINT) AS nat_units,
+                   COUNT(*) OVER (PARTITION BY c_nationkey) AS nat_n
+            FROM cust_returns) w
+      WHERE CAST(units AS DOUBLE) * nat_n > 1.2 * CAST(nat_units AS DOUBLE)
+      ORDER BY total_ret DESC, c_custkey LIMIT 25"""
+  val qTpcdsQ1 = QDef("q_tpcds_q1", sqlQ(dsQ1Sql), Some(dsQ1Sql), bench = true)
+
+  /** TPC-DS Q27 shape: rollup over a snowflaked fact — lineitem joined to
+    * part and supplier→nation dims, aggregated at (nation, brand), nation
+    * subtotal, and grand-total grain in one Expand pass. Dims broadcast;
+    * the rollup costs one shuffle of partial aggregates × 3 grouping sets.
+    */
+  private val dsQ27Sql = s"""
+      SELECT n_name, p_brand, COUNT(*) AS n_items,
+             ${Exact.dsumSql("l_quantity")} AS sum_qty,
+             ${Exact.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+                    JOIN part ON p_partkey = l_partkey
+      WHERE p_size <= 15
+      GROUP BY ROLLUP(n_name, p_brand)"""
+  val qTpcdsQ27 = QDef("q_tpcds_q27", sqlQ(dsQ27Sql), Some(dsQ27Sql), bench = true)
+
+  /** TPC-DS Q64 shape: a deep join chain — 9 table instances (nation and
+    * region each joined twice under aliases, customer-side and
+    * supplier-side) into one grouped result. The planner stress the
+    * reference's 103-file TPC-DS suite exercises most: join-order freedom
+    * across mixed broadcast/shuffle joins. The four dim instances
+    * broadcast; the fact chain (lineitem⋈orders⋈customer) sort-merges on
+    * its natural keys.
+    */
+  private val dsQ64Sql = s"""
+      SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, p_brand,
+             COUNT(*) AS n_items,
+             ${Exact.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN part     ON p_partkey = l_partkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN region cr ON cr.r_regionkey = cn.n_regionkey
+        JOIN region sr ON sr.r_regionkey = sn.n_regionkey
+      WHERE cr.r_name = 'ASIA' AND sr.r_name IN ('ASIA', 'EUROPE')
+        AND p_size <= 20
+      GROUP BY cn.n_name, sn.n_name, p_brand
+      ORDER BY revenue DESC, cust_nation, supp_nation, p_brand LIMIT 30"""
+  val qTpcdsQ64 = QDef("q_tpcds_q64", sqlQ(dsQ64Sql), Some(dsQ64Sql), bench = true)
+
   /** The flagship training-data pipeline in ONE plan: language filter →
     * quality scoring → fingerprint dedup (keep min doc_id) → embedding
     * join → per-language corpus stats. Every stage is the oracle-verified
@@ -124,5 +195,6 @@ object Pipeline extends QModule {
     Some(pipelineSql("duck")),
     bench = true)
 
-  val defs: Seq[QDef] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qTpchQ18, qPipelineClean)
+  val defs: Seq[QDef] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qTpchQ18,
+    qTpcdsQ1, qTpcdsQ27, qTpcdsQ64, qPipelineClean)
 }

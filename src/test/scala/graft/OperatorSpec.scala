@@ -239,6 +239,31 @@ class OperatorSpec extends SparkSpecBase {
       "clear() must remove the session's registry entry")
   }
 
+  test("TPC-DS-shape composites plan broadcast dims, Expand rollup, and reuse exchanges") {
+    // Q64 shape: every dim joins as broadcast (no sort-merge in the chain)
+    // and the twice-joined nation table reuses ONE broadcast exchange.
+    val p64 = SparkEntry.queries("q_tpcds_q64")(spark, sf)
+    p64.collect()
+    val s64 = p64.queryExecution.executedPlan.toString
+    assert(!s64.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$s64")
+    assert(s64.contains("ReusedExchange"), s"nation broadcast not reused:\n$s64")
+    assert(s64.contains("TakeOrderedAndProject"), "top-k not pushed into TakeOrdered")
+    // Q27 shape: rollup plans ONE Expand feeding partial->final aggregation
+    val p27 = SparkEntry.queries("q_tpcds_q27")(spark, sf)
+    p27.collect()
+    val s27 = p27.queryExecution.executedPlan.toString
+    assert(s27.contains("Expand"), "rollup lost its Expand")
+    assert(s27.linesIterator.count(_.contains("partial_count")) >= 1, "no partial aggregation")
+    // Q1 shape: the window runs over per-customer AGGREGATE rows, so its
+    // exchange partitions by nation, and the top-k is a TakeOrdered
+    val p1 = SparkEntry.queries("q_tpcds_q1")(spark, sf)
+    p1.collect()
+    val s1 = p1.queryExecution.executedPlan.toString
+    assert(s1.contains("Window") && s1.contains("hashpartitioning(c_nationkey"),
+      s"window not partitioned by nation:\n$s1")
+    assert(s1.contains("TakeOrderedAndProject"))
+  }
+
   test("DESCRIBE FUNCTION attributes each native function to its own class") {
     for ((name, cls) <- Seq(
         "dot_f" -> classOf[graft.functions.DotF],
