@@ -89,6 +89,11 @@ object Windows extends QModule {
     sqlQ(range7Sql("unix_micros(CAST(o_orderdate AS TIMESTAMP))")),
     Some(range7Sql("epoch_us(o_orderdate)")))
 
+  /** Builtin-semantics DEMO of global ntile/percent_rank/cume_dist — the
+    * unpartitioned window is the single-task anti-pattern at scale, so this
+    * is spec-only (not declared): [[qWinNtileDist]] is the canonical form,
+    * and a spec asserts this demo produces the identical answer.
+    */
   val qWinNtile = QDef(
     "q_win_ntile",
     (s, d) => {
@@ -107,9 +112,9 @@ object Windows extends QModule {
         cume_dist() OVER (ORDER BY c_acctbal) AS cd
       FROM customer"""))
 
-  /** The SCALE-SAFE global ntile/percent_rank/cume_dist: same answer as
-    * [[qWinNtile]] (same oracle), but no row ever passes through a global
-    * single-task window. Two passes:
+  /** The CANONICAL global ntile/percent_rank/cume_dist: same answer as
+    * the [[qWinNtile]] demo (same oracle), but no row ever passes through
+    * a global single-task window. Two passes:
     *   1. histogram: count per distinct order-key value (distributed
     *      groupBy), then ONE tiny window over the histogram computes each
     *      value's cumulative offset — the single-task step touches
@@ -225,7 +230,8 @@ object Windows extends QModule {
                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         FROM orders) WHERE rn = 1"""))
 
+  // qWinNtile is deliberately NOT declared — spec-only demo (see its doc)
   val defs: Seq[QDef] = Seq(
-    qWinRank, qWinLagLead, qWinRunsum, qWinRange, qWinNtile, qWinNtileDist,
+    qWinRank, qWinLagLead, qWinRunsum, qWinRange, qWinNtileDist,
     qWinFrames, qWinFirstLast, qWinLatest)
 }

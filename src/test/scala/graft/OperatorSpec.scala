@@ -239,6 +239,17 @@ class OperatorSpec extends SparkSpecBase {
       "clear() must remove the session's registry entry")
   }
 
+  test("builtin global ntile/percent_rank/cume_dist demo equals the canonical distributed form") {
+    // q_win_ntile (global single-task window) is spec-only; the declared
+    // q_win_ntile_dist must produce the identical answer.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("c_custkey", "quartile", "pr", "cd")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+    val builtin = rows(graft.queries.Windows.qWinNtile.fn(spark, sf))
+    val dist = rows(SparkEntry.queries("q_win_ntile_dist")(spark, sf))
+    assert(builtin == dist)
+  }
+
   test("TPC-DS-shape composites plan broadcast dims, Expand rollup, and reuse exchanges") {
     // Q64 shape: every dim joins as broadcast (no sort-merge in the chain)
     // and the twice-joined nation table reuses ONE broadcast exchange.
