@@ -239,6 +239,19 @@ class OperatorSpec extends SparkSpecBase {
       "clear() must remove the session's registry entry")
   }
 
+  test("q_sim_lsh and q_sim_lsh_topk read one shared persisted plane-dots table") {
+    SessionCache.clear(spark) // start from a cold memo
+    val lsh = SparkEntry.queries("q_sim_lsh")(spark, sf)
+    lsh.collect()
+    val topk = SparkEntry.queries("q_sim_lsh_topk")(spark, sf)
+    topk.collect()
+    val (s1, s2) = (lsh.queryExecution.executedPlan.toString,
+      topk.queryExecution.executedPlan.toString)
+    assert(s1.contains("InMemoryTableScan") && s2.contains("InMemoryTableScan"),
+      "both LSH queries must read the memoized dots table, not re-scan parquet")
+    SessionCache.clear(spark)
+  }
+
   test("builtin global ntile/percent_rank/cume_dist demo equals the canonical distributed form") {
     // q_win_ntile (global single-task window) is spec-only; the declared
     // q_win_ntile_dist must produce the identical answer.
