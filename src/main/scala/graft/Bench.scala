@@ -73,7 +73,34 @@ object Bench {
     val canaryRaw = times.getOrElse(canaryName, Nil)
     val noiseFactor =
       if (canaryRaw.size >= 2 && canaryRaw.min > 0) canaryRaw.max / canaryRaw.min else 1.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"rounds":$rounds,"rounds_raw":$raw,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"sf":"$sfDir"}""")
+    // Pipelined pass: submit every query CONCURRENTLY and time the set's
+    // wall-clock. Sequential per-query timing pays the ~0.2 s plan/schedule
+    // floor 28×, which at sf0.1 is ~2× the DuckDB oracle's entire runtime
+    // (BASELINE.md decomposition); overlapping submissions amortizes the
+    // floor the way a busy cluster does, so this is the throughput number
+    // comparable across engines at small SF.
+    val pipelinedTotal = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val runnable = SparkEntry.benchQueries.filterNot(q => failed(q.name))
+      val t0 = System.nanoTime()
+      val fs = runnable.map { q =>
+        scala.concurrent.Future {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+      }
+      try {
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs),
+          scala.concurrent.duration.Duration(30, "min"))
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipelined pass failed: ${e.getMessage}")
+        -1.0
+      } finally pool.shutdown()
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"rounds":$rounds,"rounds_raw":$raw,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"pipelined_total":${fmt(pipelinedTotal)},"sf":"$sfDir"}""")
     SessionCache.clear(spark)
     Tables.clear(spark)
     spark.stop()
