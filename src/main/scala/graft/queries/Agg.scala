@@ -262,8 +262,37 @@ object Agg extends QModule {
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("apx_p50")),
     None)
 
+  /** Unpivot (melt) — the inverse of pivot: wide per-nation metrics back to
+    * (id, metric, val) long form via the typed `Dataset.unpivot` API. A pure
+    * per-row Expand (no shuffle beyond the feeding aggregate); the oracle is
+    * the portable UNION ALL expansion. All values cast to DOUBLE because
+    * unpivot requires a common value type (min/max of doubles and an exact
+    * integer count are all double-exact).
+    */
+  val qAggUnpivot = QDef(
+    "q_agg_unpivot",
+    (s, d) =>
+      t(s, d, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          count("*").cast("double").as("n_cust"),
+          min("c_acctbal").as("min_bal"),
+          max("c_acctbal").as("max_bal"))
+        .unpivot(
+          Array(col("c_nationkey")),
+          Array(col("n_cust"), col("min_bal"), col("max_bal")),
+          "metric", "val"),
+    Some("""
+      WITH m AS (
+        SELECT c_nationkey, CAST(COUNT(*) AS DOUBLE) AS n_cust,
+               MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        FROM customer GROUP BY c_nationkey)
+      SELECT c_nationkey, 'n_cust' AS metric, n_cust AS val FROM m
+      UNION ALL SELECT c_nationkey, 'min_bal', min_bal FROM m
+      UNION ALL SELECT c_nationkey, 'max_bal', max_bal FROM m"""))
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
     qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
-    qAggPercentile, qAggApprox)
+    qAggPercentile, qAggApprox, qAggUnpivot)
 }

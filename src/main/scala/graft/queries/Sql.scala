@@ -56,5 +56,20 @@ object Sql extends QModule {
       GROUP BY n_key"""
   val qSqlNestedSet = QDef("q_sql_nestedset", sqlQ(nestedSetSql), Some(nestedSetSql))
 
-  val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues, qSqlNestedSet)
+  /** LATERAL correlated subquery — top-2 customers per nation, the
+    * per-row-subquery shape (SQL:1999 LATERAL; Spark ≥3.2 and DuckDB share
+    * the syntax). Catalyst decorrelates the LIMIT-under-correlation into a
+    * window rank + filter, so no per-outer-row execution happens — the same
+    * plan q_topk_perkey proves scales.
+    */
+  private val lateralSql = """
+      SELECT n_name, t.c_name, t.c_acctbal
+      FROM nation, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
+  val qSqlLateral = QDef("q_sql_lateral", sqlQ(lateralSql), Some(lateralSql))
+
+  val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
+    qSqlNestedSet, qSqlLateral)
 }

@@ -230,8 +230,34 @@ object Windows extends QModule {
                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         FROM orders) WHERE rn = 1"""))
 
+  /** IGNORE NULLS navigation — "previous/latest non-null observation", the
+    * gap-filling idiom (last F-status price seen so far per customer). The
+    * ordering key is unique per partition so both forms are deterministic.
+    * Spark spells the modifier postfix (`LAG(x) IGNORE NULLS`), DuckDB
+    * in-call (`LAG(x IGNORE NULLS)`) — same semantics, split texts.
+    */
+  private def ignoreNullsSql(dialect: String): String = {
+    val probe = "CASE WHEN o_orderstatus = 'F' THEN o_totalprice END"
+    val (lagE, lastE) = dialect match {
+      case "spark" => (s"LAG($probe) IGNORE NULLS",
+        s"LAST_VALUE($probe) IGNORE NULLS")
+      case _ => (s"LAG($probe IGNORE NULLS)", s"LAST_VALUE($probe IGNORE NULLS)")
+    }
+    s"""
+      SELECT o_orderkey,
+             $lagE OVER w AS prev_f_price,
+             $lastE OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_f_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)"""
+  }
+  val qWinIgnoreNulls = QDef(
+    "q_win_ignorenulls",
+    sqlQ(ignoreNullsSql("spark")),
+    Some(ignoreNullsSql("duck")))
+
   // qWinNtile is deliberately NOT declared — spec-only demo (see its doc)
   val defs: Seq[QDef] = Seq(
     qWinRank, qWinLagLead, qWinRunsum, qWinRange, qWinNtileDist,
-    qWinFrames, qWinFirstLast, qWinLatest)
+    qWinFrames, qWinFirstLast, qWinLatest, qWinIgnoreNulls)
 }

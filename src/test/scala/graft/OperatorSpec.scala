@@ -336,4 +336,40 @@ class OperatorSpec extends SparkSpecBase {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"pruning missing:\n$scan")
   }
+
+  test("TPC-H-shape composites keep the scale-critical plan shapes") {
+    // Q6: the entire WHERE reaches the parquet reader; no join, one
+    // partial->final agg over a pruned 2-column read.
+    val p6 = SparkEntry.queries("q_tpch_q6")(spark, sf)
+    // toString elides long PushedFilters lists; the formatted mode keeps them
+    val s6 = p6.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(s6.contains("GreaterThanOrEqual(l_shipdate") && s6.contains("LessThan(l_quantity,24.0)"),
+      s"Q6 filters not pushed:\n$s6")
+    assert(!s6.contains("Join"), "Q6 should be join-free")
+    assert(s6.contains("partial_sum"), "Q6 lost map-side partial aggregation")
+    // Q4/Q22: EXISTS and NOT EXISTS plan as semi/anti joins, never
+    // per-row subquery execution.
+    val s4 = SparkEntry.queries("q_tpch_q4")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(s4.contains("LeftSemi"), s"Q4 EXISTS not a semi join:\n$s4")
+    val s22 = SparkEntry.queries("q_tpch_q22")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(s22.contains("LeftAnti"), s"Q22 NOT EXISTS not an anti join:\n$s22")
+    // Q19: disjunctive predicates keep the p_partkey equi join hashable
+    // (no nested loop / cartesian fallback).
+    val s19 = SparkEntry.queries("q_tpch_q19")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(s19.contains("BroadcastHashJoin") || s19.contains("SortMergeJoin"),
+      s"Q19 lost its equi join:\n$s19")
+    assert(!s19.contains("NestedLoop") && !s19.contains("CartesianProduct"),
+      s"Q19 degraded to a non-equi join:\n$s19")
+    // LATERAL + LIMIT decorrelates to a window rank, not per-outer-row
+    // subquery execution (the q_topk_perkey plan, proven scale-safe).
+    val sl = SparkEntry.queries("q_sql_lateral")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sl.contains("Window"), s"LATERAL not decorrelated to a window:\n$sl")
+    assert(!sl.contains("NestedLoop") && !sl.contains("CartesianProduct"),
+      s"LATERAL executes per-row:\n$sl")
+  }
 }
