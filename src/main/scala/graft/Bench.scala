@@ -18,8 +18,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    // Pipelined-pass knobs: FAIR round-robins stages of concurrent jobs
+    // (the multi-tenant cluster posture; FIFO can park short queries
+    // behind a long stage queue), pool width bounds in-flight queries.
+    val schedMode = sys.env.getOrElse("SPARK_GRAFT_SCHED", "FAIR")
+    val pipeThreads = sys.env.getOrElse("SPARK_GRAFT_PIPE_THREADS", "8").toInt
     val spark = Engine
       .builder("graft-bench", s"local[$cpus]", cpus.toInt)
+      .config("spark.scheduler.mode", schedMode)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: session/codegen/FS-cache spin-up is fixed overhead
@@ -80,7 +86,7 @@ object Bench {
     // floor the way a busy cluster does, so this is the throughput number
     // comparable across engines at small SF.
     val pipelinedTotal = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(pipeThreads)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       val runnable = SparkEntry.benchQueries.filterNot(q => failed(q.name))

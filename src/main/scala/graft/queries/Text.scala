@@ -100,6 +100,64 @@ object Text extends QModule {
         "(acc * 31 + length(x) * 7 + ascii(substring(x, 1, 1))) % 1000000007) AS rh"),
     None)
 
+  /** Duplicate-trigram repetition ratio — the Gopher/C4-style quality
+    * filter ("fraction of repeated n-grams") as a pure per-row projection:
+    * positional trigrams via a codegen'd transform over an index sequence,
+    * then distinct/total. No shuffle at all; at 100 TB this runs at scan
+    * speed. Spark indexes arrays 0-based, DuckDB 1-based — split texts.
+    */
+  private val triSpark =
+    "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+  private val triDuck =
+    "list_transform(range(1, len(w) - 1), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+
+  val qTextRepetition = QDef(
+    "q_text_repetition",
+    (s, d) => {
+      graft.Tables.register(s, d)
+      s.sql(s"""
+        SELECT doc_id,
+          CASE WHEN size(w) >= 3 THEN size(w) - 2 ELSE 0 END AS n_grams,
+          CASE WHEN size(w) >= 3 THEN size(array_distinct($triSpark)) ELSE 0 END AS distinct_grams,
+          CASE WHEN size(w) >= 3
+               THEN 1.0 - size(array_distinct($triSpark)) / (size(w) - 2)
+               ELSE 0.0 END AS dup_ratio
+        FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)""")
+    },
+    Some(s"""
+      SELECT doc_id,
+        CAST(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END AS INTEGER) AS n_grams,
+        CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct($triDuck)) ELSE 0 END AS INTEGER) AS distinct_grams,
+        CASE WHEN len(w) >= 3
+             THEN 1.0 - len(list_distinct($triDuck)) / (len(w) - 2)
+             ELSE 0.0 END AS dup_ratio
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""))
+
+  /** Corpus-level n-gram frequencies — the decontamination/overlap-check
+    * primitive (count every trigram across the corpus, rank the heaviest).
+    * Explode multiplies rows ~×n_words, but partial aggregation combines
+    * map-side so the shuffle carries one row per DISTINCT gram per
+    * partition, and the final top-k is a TakeOrderedAndProject. Ties break
+    * on the gram text — deterministic at any parallelism.
+    */
+  private val ngramFreqSpark = s"""
+      SELECT gram, COUNT(*) AS n FROM (
+        SELECT explode($triSpark) AS gram
+        FROM (SELECT split(text, ' ') AS w FROM documents)
+        WHERE size(w) >= 3)
+      GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""
+  val qTextNgramFreq = QDef(
+    "q_text_ngramfreq",
+    sqlQ(ngramFreqSpark),
+    Some(s"""
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest($triDuck) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 3)
+      GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""))
+
   val defs: Seq[QDef] = Seq(
-    qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash)
+    qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
+    qTextRepetition, qTextNgramFreq)
 }
+
