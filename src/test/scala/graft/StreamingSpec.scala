@@ -400,6 +400,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("per-row ForeachWriter sink receives every row with open/process/close lifecycle") {
+    // The reference's fourth sink surface (ForeachWriterProvider,
+    // SURVEY §2.1): per-row delivery with a per-partition-per-epoch
+    // open/close contract — unlike foreachBatch, which hands over whole
+    // DataFrames. Collected through a concurrent set keyed by event_id.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = input.toDF().select("event_id", "user_id")
+      .writeStream.outputMode("append")
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        var opened = false
+        def open(partitionId: Long, epochId: Long): Boolean = { opened = true; true }
+        def process(row: org.apache.spark.sql.Row): Unit = {
+          assert(opened, "process() before open()")
+          StreamingSpec.foreachSeen.add(row.getLong(0))
+        }
+        def close(errorOrNull: Throwable): Unit = ()
+      })
+      .start()
+    try {
+      StreamingSpec.foreachSeen.clear()
+      val rows = batchEvents.take(50)
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = {
+        val it = StreamingSpec.foreachSeen.iterator()
+        val b = Set.newBuilder[Long]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      assert(got == rows.map(_.event_id).toSet,
+        s"foreach saw ${got.size} of ${rows.size} rows")
+    } finally q.stop()
+  }
+
   test("sessionizers merge late-but-within-watermark events like batch session_window") {
     // Regression for the ADVICE r3 merge bug: a later micro-batch delivers
     // rows BEHIND the session's lastUs (and one behind its startUs) that are
@@ -437,4 +473,11 @@ class StreamingSpec extends SparkSpecBase {
       assert(got == want, s"$nm diverged from batch session_window: $got vs $want")
     }
   }
+}
+
+object StreamingSpec {
+  /** Sink for the ForeachWriter test — static so the serialized writer and
+    * the test observe the same set (local mode = one JVM).
+    */
+  val foreachSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 }
