@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+/** Property-based tests (SURVEY.md §5 adopted strategy #3): each custom
+  * operator is checked against an executable brute-force specification on
+  * arbitrary generated inputs, not just the fixture tables. Fixed initial
+  * seed so failures reproduce; few-but-diverse cases per property since
+  * every case runs real Spark jobs.
+  */
+class PropertySpec extends SparkSpecBase {
+
+  private def check(name: String, prop: Prop, cases: Int = 10): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(cases)
+      .withInitialSeed(Seed(42L))
+      .withWorkers(1)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  /** 2-decimal fixed-point doubles (the fixture money/quantity shape). */
+  private val centsGen: Gen[Long] = Gen.chooseNum(-100000000L, 100000000L)
+
+  test("Exact.dsum equals the exact integer sum under any repartitioning") {
+    import spark.implicits._
+    val gen = for {
+      cents <- Gen.nonEmptyListOf(centsGen)
+      parts <- Gen.choose(1, 7)
+    } yield (cents, parts)
+    check("dsum", Prop.forAll(gen) { case (cents, parts) =>
+      val df = cents.map(_ / 100.0).toDF("v").repartition(parts)
+      val got = df.agg(Exact.dsum(col("v"), 2)).head.getDouble(0)
+      val want = cents.sum.toDouble / 100.0
+      got == want
+    })
+  }
+
+  test("AsOf.joinLast matches the brute-force point-in-time lookup") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 20L); v <- Gen.choose(-50L, 50L)
+    } yield (k, t, v.toDouble)
+    val gen = for {
+      ls <- Gen.nonEmptyListOf(rowGen)
+      rs <- Gen.listOf(rowGen)
+    } yield (ls, rs)
+    check("asof", Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.toDF("k", "rts", "rv")
+      val got = operators.AsOf
+        .joinLast(left, right, "k", "ts", "rts", "rv", "asof_v")
+        .select("lid", "asof_v")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val want = ls.zipWithIndex.map { case ((k, t, _), i) =>
+        val cands = rs.filter(r => r._1 == k && r._2 <= t)
+        // most recent rts wins; at equal rts the greatest value wins
+        i.toLong -> (if (cands.isEmpty) None
+                     else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      got == want
+    }, cases = 8)
+  }
+
+  test("TopKAgg matches per-key sort-and-take for arbitrary inputs") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0L, 3L); v <- Gen.choose(-20L, 20L)
+    } yield (k, v.toDouble)
+    val gen = for {
+      rows <- Gen.nonEmptyListOf(rowGen)
+      kk <- Gen.choose(1, 4)
+    } yield (rows, kk)
+    check("topk", Prop.forAll(gen) { case (rows, kk) =>
+      // unique ids so the (value desc, id asc) order is total
+      val withId = rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      val got = withId.toDS()
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(functions.TopKAgg(kk).toColumn.name("top"))
+        .collect()
+        .map { case (k, top) => k -> top.toList }
+        .toMap
+      val want = withId.groupBy(_._1).map { case (k, g) =>
+        k -> g.map(r => (r._2, r._3)).sortBy(r => (-r._1, r._2)).take(kk).toList
+      }
+      got == want
+    }, cases = 8)
+  }
+
+  test("Salt.saltedSumCount equals the unsalted aggregation for any bucket count") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0L, 2L); c <- centsGen
+    } yield (k, c / 100.0)
+    val gen = for {
+      rows <- Gen.nonEmptyListOf(rowGen)
+      buckets <- Gen.choose(1, 9)
+    } yield (rows, buckets)
+    check("salt", Prop.forAll(gen) { case (rows, buckets) =>
+      val df = rows.toDF("k", "v")
+      val got = operators.Salt.saltedSumCount(df, "k", "v", buckets)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val want = df
+        .groupBy(col("k"))
+        .agg(
+          sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 4)))
+            .cast("double").as("sum_v"),
+          count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      got == want
+    }, cases = 8)
+  }
+}
