@@ -80,4 +80,47 @@ object Multimodal {
         CAST(64 + (16 * ${hexAt(3)} + ${hexAt(4)}) % 64 AS INTEGER) AS height
       FROM documents"""
   }
+
+  /** One sampled frame of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** Frame sampling (the video-ingest primitive): slice the opaque payload
+    * into fixed-size frames and keep every `stride`-th one — a 1→N
+    * expansion that streams through the partition iterator, so memory is
+    * one frame per row regardless of payload count. The frame digest
+    * stands in for the per-frame decode (same seam as [[FakeDecoder]]);
+    * at 100 TB the payload column never shuffles — sampling happens at
+    * scan site and only (id, idx, digest) rows move on.
+    */
+  def sampleFrames(
+      media: Dataset[MediaRecord],
+      frameBytes: Int = 64,
+      stride: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5") // one instance per partition
+      it.flatMap { m =>
+        val nFull = m.content.length / frameBytes
+        (0 until nFull by stride).iterator.map { i =>
+          md.reset()
+          val dg = md.digest(
+            java.util.Arrays.copyOfRange(m.content, i * frameBytes, (i + 1) * frameBytes))
+          Frame(m.doc_id, i, dg.map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  def framesQuery(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(spark, dir)).toDF()
+
+  /** DuckDB mirror: every 4th 64-byte frame of the utf-8 payload (ASCII
+    * fixture text, so char slicing == byte slicing).
+    */
+  val framesOracleSql: String = """
+      SELECT doc_id, CAST(u AS INTEGER) AS frame_idx,
+             md5(substring(text, u * 64 + 1, 64)) AS frame_md5
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, length(text) // 64, 4)) AS u
+            FROM documents)"""
 }

@@ -36,6 +36,12 @@ object Extra extends QModule {
     Some(Multimodal.featuresOracleSql),
     bench = true)
 
+  /** Frame sampling over binary payloads (1→N streaming expansion). */
+  val qMmFrames = QDef(
+    "q_mm_frames",
+    (s, d) => Multimodal.framesQuery(s, d),
+    Some(Multimodal.framesOracleSql))
+
   private val topkOracle = """
       SELECT o_custkey, CAST(rn AS INTEGER) AS rnk, o_orderkey, o_totalprice
       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -103,5 +109,6 @@ object Extra extends QModule {
              COUNT(*) AS cnt
       FROM lineitem GROUP BY l_suppkey"""))
 
-  val defs: Seq[QDef] = Seq(qAggWeighted, qMmFeatures, qTopkPerKey, qTopkAgg, qSaltedAgg)
+  val defs: Seq[QDef] = Seq(qAggWeighted, qMmFeatures, qMmFrames, qTopkPerKey,
+    qTopkAgg, qSaltedAgg)
 }
