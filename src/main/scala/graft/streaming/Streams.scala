@@ -97,6 +97,22 @@ object Streams {
       joinType)
   }
 
+  /** Stream-static join: the streaming fact enriched with a static
+    * dimension and aggregated per dim attribute. Unlike stream-stream
+    * joins this needs NO symmetric state — the static side is planned as
+    * an ordinary (broadcast) join inside every micro-batch, so state cost
+    * is zero and the dim can be refreshed by re-resolving the DataFrame.
+    * The production dim-enrichment shape at any stream volume.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(col("segment"))
+      // Exact.dsum, not sum(double): incremental state merge order differs
+      // from batch merge order, so a double total drifts in the last ulp
+      // between the two — the exact unit-sum is bit-identical in both.
+      .agg(count(lit(1)).as("cnt"), graft.Exact.dsum(col("value"), 2).as("total"))
+
   /** Sessionization with arbitrary per-key state (flatMapGroupsWithState,
     * event-time timeout): emits a session when the gap is exceeded or the
     * watermark passes. State per key is O(1) (counters + bounds), the

@@ -56,6 +56,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("stream-static dim enrichment (complete mode) equals batch and keeps zero join state") {
+    // The dim: user_id -> segment, a STATIC DataFrame resolved once.
+    val dim = Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg_"), pmod(col("user_id"), lit(3))))
+    val got = runStream("t_dimjoin", OutputMode.Complete,
+      df => Streams.enrichWithDim(df, dim), chunked(batchEvents))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Streams.enrichWithDim(
+      Tables.load(spark, sf, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value"), dim)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    // Plan check: a static side never plans the symmetric stateful join —
+    // only the streaming AGGREGATION holds state.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.enrichWithDim(input.toDF(), dim)
+      .writeStream.format("memory").queryName("t_dimplan").outputMode(OutputMode.Complete)
+      .start()
+    try {
+      input.addData(batchEvents.take(10)); q.processAllAvailable()
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!plan.contains("StreamingSymmetricHashJoin"),
+        s"static side planned as stateful join:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"dim not broadcast:\n$plan")
+    } finally q.stop()
+  }
+
   test("streaming dedup removes duplicate event_ids across micro-batches") {
     val es = batchEvents.take(200)
     val withDups = chunked(es, 4) :+ es.take(50) // re-feed within watermark
