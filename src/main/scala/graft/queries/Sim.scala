@@ -280,6 +280,47 @@ object Sim extends QModule {
     sqlQ(ivfSql("spark")),
     Some(ivfSql("duck")))
 
+  /** One full Lloyd (k-means) iteration: assign every vector to its
+    * nearest centroid ([[qSimIvf]] as a CTE), then recompute the centroid
+    * table from the COMPUTED cells — the re-aggregation is keyed by a
+    * derived cluster id, not a stored label, which is the semantic-
+    * clustering refinement step (cluster-then-dedup/curriculum pipelines
+    * iterate exactly this plan).
+    *
+    * Scale shape: the assignment half broadcasts the tiny centroid table
+    * (shuffle-free scan); the recompute half is the same map-side-
+    * combinable (cell, pos) aggregation as [[qSimCentroid]] — the join on
+    * vec_id is co-partitioned with the explode, and the shuffle carries
+    * cells × dims partials per map partition. Iterating k times = k of
+    * these plans checkpointed, never a driver loop over rows.
+    */
+  private def kmeansSql(dialect: String): String = {
+    val explodeRel = dialect match {
+      case "spark" =>
+        "SELECT vec_id, posexplode(embedding) AS (pos, v) FROM embeddings"
+      case _ =>
+        "SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v FROM embeddings"
+    }
+    val posOut = dialect match {
+      case "spark" => "ex.pos"
+      case _ => "CAST(ex.pos AS INTEGER)"
+    }
+    s"""
+      WITH asg AS (${ivfSql(dialect)}),
+      ex AS ($explodeRel)
+      SELECT a.cell, $posOut AS pos,
+             CAST(SUM(CAST(floor(CAST(ex.v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e8 / COUNT(*) AS c
+      FROM ex JOIN asg a ON a.vec_id = ex.vec_id
+      GROUP BY a.cell, $posOut"""
+  }
+
+  val qSimKmeans = QDef(
+    "q_sim_kmeans",
+    sqlQ(kmeansSql("spark")),
+    Some(kmeansSql("duck")))
+
   val defs: Seq[QDef] = Seq(
-    qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf)
+    qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf,
+    qSimKmeans)
 }
