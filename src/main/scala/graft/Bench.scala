@@ -106,7 +106,7 @@ object Bench {
         -1.0
       } finally pool.shutdown()
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"rounds":$rounds,"rounds_raw":$raw,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"pipelined_total":${fmt(pipelinedTotal)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"rounds":$rounds,"rounds_raw":$raw,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"pipelined_total":${fmt(pipelinedTotal)},"sched_mode":"$schedMode","pipe_threads":$pipeThreads,"sf":"$sfDir"}""")
     SessionCache.clear(spark)
     Tables.clear(spark)
     spark.stop()
