@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,7 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * source uses (one reader per topic-partition slice); offsets are plain
   * longs serialized via `Offset.json`, checkpointable exactly like Kafka's.
   *
-  * Options: numRecords (total), numPartitions, topic, startMs, stepMs.
+  * Options: numRecords (total), numPartitions, topic, startMs, stepMs,
+  * startingOffset (≙ Kafka `startingOffsets`), maxRecordsPerTrigger
+  * (≙ Kafka `maxOffsetsPerTrigger` — micro-batch admission control via
+  * [[SupportsAdmissionControl]], the M2 batch-sizing lever).
   */
 class KafkaShapedProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -77,7 +80,9 @@ private[sources] class KafkaShapedTable(props: util.Map[String, String])
           numPartitions = opt("numPartitions", "2").toInt,
           topic = opt("topic", "events"),
           startMs = opt("startMs", "86400000000").toLong,
-          stepMs = opt("stepMs", "60000").toLong)
+          stepMs = opt("stepMs", "60000").toLong,
+          startingOffset = opt("startingOffset", "0").toLong,
+          maxPerTrigger = Option(props.get("maxRecordsPerTrigger")).map(_.toLong))
     }
 }
 
@@ -91,11 +96,30 @@ private[sources] case class ShapedRange(
   extends InputPartition
 
 private[sources] class KafkaShapedStream(
-    numRecords: Long, numPartitions: Int, topic: String, startMs: Long, stepMs: Long)
-  extends MicroBatchStream {
+    numRecords: Long, numPartitions: Int, topic: String, startMs: Long,
+    stepMs: Long, startingOffset: Long = 0L, maxPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = ShapedOffset(0L)
-  override def latestOffset(): Offset = ShapedOffset(numRecords)
+  override def initialOffset(): Offset = ShapedOffset(startingOffset)
+
+  /** Admission control (the Kafka maxOffsetsPerTrigger contract): with a
+    * rate limit installed the engine calls the two-arg latestOffset and
+    * each micro-batch admits at most maxRecordsPerTrigger rows; the
+    * zero-arg form must not be reached (same posture as KafkaSource).
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[ShapedOffset].n
+    limit match {
+      case mr: ReadMaxRows => ShapedOffset(math.min(numRecords, lo + mr.maxRows()))
+      case _ => ShapedOffset(numRecords)
+    }
+  }
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+
   override def deserializeOffset(json: String): Offset = ShapedOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
