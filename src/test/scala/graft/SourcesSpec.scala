@@ -80,6 +80,25 @@ class SourcesSpec extends SparkSpecBase {
     assert(counts.get() == 100, s"foreachBatch saw ${counts.get()} rows")
   }
 
+  test("file source maxFilesPerTrigger bounds each micro-batch (M2 sizing knob)") {
+    val inDir = tmp("graft-stream-mfpt")
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    ev.limit(80).repartition(8).write.mode("overwrite").json(inDir) // 8 input files
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").json(inDir)
+      .writeStream.format("memory").queryName("mfpt_t").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("mfpt_t").count() == 80)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 4,
+        s"maxFilesPerTrigger ignored: ${batches.length} batches of ${batches.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
   test("rate source produces rows") {
     val q = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
       .writeStream.format("memory").queryName("rate_t").outputMode("append").start()
