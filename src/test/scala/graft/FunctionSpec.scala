@@ -104,6 +104,23 @@ class FunctionSpec extends SparkSpecBase {
     assert(truth.subsetOf(freq), s"missing heavy hitters: ${truth -- freq}")
   }
 
+  test("metadata functions: input_file_name, spark_partition_id, monotonically_increasing_id") {
+    // SURVEY §2.8 misc/metadata names (reference CAT/expressions/misc.scala):
+    // file provenance, physical partition id, and a distinct-per-row id —
+    // the lineage/debugging surface of the scan layer.
+    val df = Tables.load(spark, sf, "nation").select(
+      expr("input_file_name()").as("f"),
+      expr("spark_partition_id()").as("p"),
+      expr("monotonically_increasing_id()").as("mid"))
+    val rows = df.collect()
+    assert(rows.forall(_.getString(0).contains("nation.parquet")),
+      "input_file_name should point at the scanned parquet")
+    assert(rows.map(_.getInt(1)).forall(_ >= 0))
+    val mids = rows.map(_.getLong(2))
+    assert(mids.distinct.length == mids.length,
+      "monotonically_increasing_id must be distinct per row")
+  }
+
   test("typed map/flatMap/mapGroups/cogroup surface") {
     import spark.implicits._
     val orders = Tables.load(spark, sf, "orders")

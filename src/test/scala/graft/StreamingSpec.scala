@@ -87,6 +87,22 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups re-deliveries with drifted timestamps") {
+    // The 4.x watermark-relative dedup variant: unlike dropDuplicates on
+    // (id, ts), a re-delivery whose TIMESTAMP moved (retry after delay —
+    // the at-least-once-source reality) still dedups, because state is
+    // keyed on id alone and retained one watermark interval.
+    val es = batchEvents.take(120)
+    val drifted = es.take(30).map(e =>
+      e.copy(ts = new Timestamp(e.ts.getTime + 1000))) // same ids, moved ts
+    val got = runStream("t_dedup_wm", OutputMode.Append,
+      df => df.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id"),
+      chunked(es, 4) :+ drifted)
+    assert(got.count() == es.size,
+      s"drifted re-deliveries not deduped: ${got.count()} vs ${es.size}")
+  }
+
   test("streaming dedup removes duplicate event_ids across micro-batches") {
     val es = batchEvents.take(200)
     val withDups = chunked(es, 4) :+ es.take(50) // re-feed within watermark
