@@ -70,6 +70,17 @@ object Sql extends QModule {
         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
   val qSqlLateral = QDef("q_sql_lateral", sqlQ(lateralSql), Some(lateralSql))
 
+  /** NATURAL JOIN resolution (§2.3 — Analyzer matches the shared column
+    * names and deduplicates them in the output). The fixture tables have
+    * disjoint prefixes, so the shared key is staged through CTE renames.
+    */
+  private val naturalSql = """
+      WITH a AS (SELECT c_custkey AS k, c_acctbal FROM customer),
+           b AS (SELECT o_custkey AS k, o_totalprice FROM orders)
+      SELECT k, COUNT(*) AS n, MIN(o_totalprice) AS lo
+      FROM a NATURAL JOIN b GROUP BY k"""
+  val qSqlNatural = QDef("q_sql_natural", sqlQ(naturalSql), Some(naturalSql))
+
   val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
-    qSqlNestedSet, qSqlLateral)
+    qSqlNestedSet, qSqlLateral, qSqlNatural)
 }

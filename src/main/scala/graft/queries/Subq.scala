@@ -45,5 +45,19 @@ object Subq extends QModule {
                          WHERE o_custkey = c_custkey)"""
   val qSubqCorr = QDef("q_subq_corr", sqlQ(corrSql), Some(corrSql))
 
-  val defs: Seq[QDef] = Seq(qSubqScalar, qSubqIn, qSubqNotIn, qSubqExists, qSubqCorr)
+  /** IN as a PROJECTED boolean (not a WHERE predicate) — this is the one
+    * shape Catalyst plans as a true ExistenceJoin (reference
+    * `SortMergeJoinExec.scala:57` existence variant): the join emits every
+    * left row plus a match flag instead of filtering. Distinct from the
+    * semi/anti rewrites q_subq_in/q_subq_notin exercise.
+    */
+  private val flagSql = """
+      SELECT c_custkey,
+             c_custkey IN (SELECT o_custkey FROM orders
+                           WHERE o_totalprice > 400000) AS has_big
+      FROM customer"""
+  val qSubqFlag = QDef("q_subq_flag", sqlQ(flagSql), Some(flagSql))
+
+  val defs: Seq[QDef] = Seq(qSubqScalar, qSubqIn, qSubqNotIn, qSubqExists,
+    qSubqCorr, qSubqFlag)
 }

@@ -364,6 +364,11 @@ class OperatorSpec extends SparkSpecBase {
       s"Q19 lost its equi join:\n$s19")
     assert(!s19.contains("NestedLoop") && !s19.contains("CartesianProduct"),
       s"Q19 degraded to a non-equi join:\n$s19")
+    // Projected IN plans the true ExistenceJoin variant (flag-emitting,
+    // non-filtering) — distinct from the WHERE-position semi/anti rewrites.
+    val sf1 = SparkEntry.queries("q_subq_flag")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sf1.contains("ExistenceJoin"), s"projected IN lost ExistenceJoin:\n$sf1")
     // LATERAL + LIMIT decorrelates to a window rank, not per-outer-row
     // subquery execution (the q_topk_perkey plan, proven scale-safe).
     val sl = SparkEntry.queries("q_sql_lateral")(spark, sf)
