@@ -24,4 +24,11 @@ class QueriesSmokeSpec extends SparkSpecBase {
     val qn = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qn))
   }
+
+  test("declared query names are unique (no silent map shadowing)") {
+    val names = SparkEntry.all.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(SparkEntry.queries.size == names.size)
+  }
 }
