@@ -100,6 +100,28 @@ object Stats extends QModule {
       WHERE strpos('0123456789abcdef', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 < 4
       GROUP BY o_orderstatus"""))
 
+  /** Training-mixture sampling: per-STRATUM keep rates (en 50%, de 25%,
+    * fr 12.5%, others dropped) decided by a 256-bucket hash of the
+    * primary key — the deterministic generalization of [[qStatSampleBy]]
+    * that weights a corpus into a data mix. Reproducible across engines,
+    * retries, and cluster sizes; rates change by editing one CASE arm.
+    */
+  private def mixtureSql(dialect: String): String = {
+    val pos = dialect match { case "spark" => "instr"; case _ => "strpos" }
+    val hexDig = (i: Int) =>
+      s"($pos('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), $i, 1)) - 1)"
+    s"""
+      SELECT lang, COUNT(*) AS kept
+      FROM documents
+      WHERE 16 * ${hexDig(1)} + ${hexDig(2)} <
+            CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 64 WHEN 'fr' THEN 32 ELSE 0 END
+      GROUP BY lang"""
+  }
+  val qStatMixture = QDef(
+    "q_stat_mixture",
+    sqlQ(mixtureSql("spark")),
+    Some(mixtureSql("duck")))
+
   /** Linear-regression family (SURVEY §2.8 regr_*): slope, intercept and
     * r² from exact decimal power sums — the same mirrored-double-tree
     * pattern as [[qStatCovCorr]], so values are engine-equal and
@@ -143,5 +165,5 @@ object Stats extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qStatCrosstab, qStatCovCorr, qStatBuiltin, qStatApproxQuantile, qStatSampleBy,
-    qStatRegr, qStatRegrBuiltin)
+    qStatMixture, qStatRegr, qStatRegrBuiltin)
 }
