@@ -77,6 +77,51 @@ object Ev extends QModule {
       FROM y GROUP BY user_id, sid"""),
     bench = true)
 
+  /** Dynamic-gap session windows: the gap depends on each event's own
+    * attributes (purchases hold a session open 60 min, everything else
+    * 30) — Spark's session_window(col, gapExpr) form. The oracle is the
+    * general interval-merge islands construction: an event breaks the
+    * session iff its start is at or past the RUNNING MAX of previous
+    * events' (ts + gap) ends (a constant-gap lag(ts) compare is not
+    * enough once gaps vary).
+    */
+  val qEvSessionDyn = QDef(
+    "q_ev_session_dyn",
+    (s, d) => t(s, d, "events")
+      .groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "purchase", "60 minutes")
+            .otherwise("30 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value"), 2).as("total"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("ss_us"),
+        col("cnt"), col("total")),
+    Some(s"""
+      WITH x AS (
+        SELECT user_id, ts, value,
+          ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                    ELSE INTERVAL 30 MINUTE END AS ed
+        FROM events),
+      y AS (
+        SELECT user_id, ts, value,
+          MAX(ed) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM x),
+      z AS (
+        SELECT user_id, ts, value,
+          CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS brk
+        FROM y),
+      w AS (
+        SELECT user_id, ts, value,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM z)
+      SELECT user_id, epoch_us(MIN(ts)) AS ss_us, COUNT(*) AS cnt,
+             ${Exact.dsumSql("value", 2)} AS total
+      FROM w GROUP BY user_id, sid"""))
+
   /** First event per (user, type): dedup-keep-earliest as one aggregate
     * (min over a (time, id) struct = deterministic argmin, map-side
     * combinable — no window shuffle needed).
@@ -95,5 +140,6 @@ object Ev extends QModule {
         (list(event_id ORDER BY epoch_us(ts), event_id))[1] AS first_id
       FROM events GROUP BY user_id, event_type"""))
 
-  val defs: Seq[QDef] = Seq(qEvTumbling, qEvSliding, qEvSession, qEvFirst)
+  val defs: Seq[QDef] = Seq(qEvTumbling, qEvSliding, qEvSession,
+    qEvSessionDyn, qEvFirst)
 }

@@ -65,6 +65,23 @@ object Streams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("total"))
       .select(col("session_window.start").as("ss"), col("user_id"), col("cnt"), col("total"))
 
+  /** Dynamic-gap session windows: each event carries its own gap
+    * (purchases hold the session open 60 min, everything else 30), the
+    * `session_window(col, gapExpr)` form. State-merge semantics are the
+    * interval-union of [ts, ts+gap) per key — same construction as the
+    * batch oracle in [[graft.queries.Ev]] (q_ev_session_dyn).
+    */
+  def sessionWindowsDynamic(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "purchase", "60 minutes")
+            .otherwise("30 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("cnt"))
+
   /** Streaming dedup on event_id; watermark bounds the dedup state. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")

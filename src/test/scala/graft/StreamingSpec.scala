@@ -146,6 +146,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("streaming dynamic-gap session_window (append) equals batch") {
+    // Gap depends on each event's own type (purchase 60m, else 30m) —
+    // merge semantics are interval-union, not a constant-gap lag compare.
+    val sentinel = Event(-1L, new Timestamp(batchEvents.last.ts.getTime + 10L * 24 * 3600 * 1000),
+      -999L, "view", 0.0)
+    val got = runStream("t_swdyn", OutputMode.Append,
+      df => Streams.sessionWindowsDynamic(df), chunked(batchEvents) :+ Seq(sentinel))
+      .filter(col("user_id") =!= -999L)
+      .select("user_id", "ss", "cnt")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(
+        session_window(col("ts"),
+          when(col("event_type") === "purchase", "60 minutes").otherwise("30 minutes")),
+        col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("checkpoint recovery: restart resumes exactly-once (no reprocessing)") {
     import java.nio.file.Files
     val inDir = Files.createTempDirectory("graft-ckpt-in").toString
