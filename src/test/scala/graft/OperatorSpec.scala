@@ -377,4 +377,36 @@ class OperatorSpec extends SparkSpecBase {
     assert(!sl.contains("NestedLoop") && !sl.contains("CartesianProduct"),
       s"LATERAL executes per-row:\n$sl")
   }
+
+  test("remaining TPC-H shapes decorrelate to semi/anti/outer joins, never per-row subqueries") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q21: EXISTS -> left-semi, NOT EXISTS -> left-anti, both equi on
+    // l_orderkey; the fact table never re-executes per outer row.
+    val s21 = plan("q_tpch_q21")
+    assert(s21.contains("LeftSemi"), s"Q21 EXISTS not a semi join:\n$s21")
+    assert(s21.contains("LeftAnti"), s"Q21 NOT EXISTS not an anti join:\n$s21")
+    assert(!s21.contains("CartesianProduct"), s"Q21 degraded:\n$s21")
+    // Q2: the correlated scalar MIN decorrelates to an aggregate joined on
+    // p_partkey (no per-row subquery), and ORDER+LIMIT is one TakeOrdered.
+    val s2 = plan("q_tpch_q2")
+    assert(s2.contains("TakeOrderedAndProject"), s"Q2 top-k not TakeOrdered:\n$s2")
+    assert(!s2.contains("CartesianProduct") && !s2.contains("NestedLoop"),
+      s"Q2 correlated MIN executes per-row:\n$s2")
+    // Q20: both IN subqueries (nested) plan as left-semi joins.
+    val s20 = plan("q_tpch_q20")
+    assert(s20.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      s"Q20 nested INs not two semi joins:\n$s20")
+    // Q16: null-aware NOT IN plans as an anti join, not a filter-per-row.
+    val s16 = plan("q_tpch_q16")
+    assert(s16.contains("LeftAnti"), s"Q16 NOT IN not an anti join:\n$s16")
+    // Q13: the ON-clause filter must stay in the LEFT OUTER join (zero-
+    // order customers survive into the distribution's zero bucket).
+    val s13 = plan("q_tpch_q13")
+    assert(s13.contains("LeftOuter"), s"Q13 outer join collapsed:\n$s13")
+    // Q7/Q8: deep join trees stay equi (broadcast/shuffled hash or SMJ).
+    for ((n, s) <- Seq("q_tpch_q7" -> plan("q_tpch_q7"), "q_tpch_q8" -> plan("q_tpch_q8")))
+      assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"),
+        s"$n degraded to a non-equi join:\n$s")
+  }
 }
