@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.{Exact, QDef, QModule}
+
+/** Second TPC-DS-shape batch (Q88/Q38/Q51/Q97), complementing the three in
+  * [[Pipeline]] (Q1/Q27/Q64) with the planner paths those don't touch:
+  * many independent filtered scalar scans of one fact (Q88), an INTERSECT
+  * chain of derived key sets (Q38), a window over a FULL OUTER join of two
+  * aggregated streams (Q51), and key-overlap classification across two
+  * derived profiles (Q97). Reference suite:
+  * `/root/reference/sql/core/src/test/resources/tpcds/q88.sql`, `q38.sql`,
+  * `q51.sql`, `q97.sql` — shapes adapted to the fixture star schema
+  * (FIXTURES.md §1). Same Spark∩DuckDB SQL text serves as query and oracle.
+  */
+object Tpcds2 extends QModule {
+
+  /** TPC-DS Q88 shape: eight disjoint quantity-band counts of the same
+    * fact, each an independent scalar subquery, cross-joined into one row.
+    * The scale story: each band is a pushed-filter scan + partial count —
+    * eight SMALL scalar results whose "joins" are 1×1-row broadcasts;
+    * nothing shuffles the fact. (The stock TPC-DS plan re-scans per band;
+    * a shared-scan rewrite via CASE pivots is the q_tpch_q12 pattern,
+    * declared there.)
+    */
+  private val q88Sql = """
+      SELECT * FROM
+       (SELECT COUNT(*) AS h1 FROM lineitem WHERE l_quantity BETWEEN 1 AND 5) s1,
+       (SELECT COUNT(*) AS h2 FROM lineitem WHERE l_quantity BETWEEN 6 AND 10) s2,
+       (SELECT COUNT(*) AS h3 FROM lineitem WHERE l_quantity BETWEEN 11 AND 15) s3,
+       (SELECT COUNT(*) AS h4 FROM lineitem WHERE l_quantity BETWEEN 16 AND 20) s4,
+       (SELECT COUNT(*) AS h5 FROM lineitem WHERE l_quantity BETWEEN 21 AND 25) s5,
+       (SELECT COUNT(*) AS h6 FROM lineitem WHERE l_quantity BETWEEN 26 AND 30) s6,
+       (SELECT COUNT(*) AS h7 FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) s7,
+       (SELECT COUNT(*) AS h8 FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) s8"""
+  val qTpcdsQ88 = QDef("q_tpcds_q88", sqlQ(q88Sql), Some(q88Sql))
+
+  /** TPC-DS Q38 shape: customers present in ALL three "channels" — an
+    * INTERSECT chain of derived key sets, then a global count. Each
+    * INTERSECT plans as a distinct-aggregated semi join on the key, so the
+    * shuffle carries only c_custkey, never order payloads.
+    */
+  private val q38Sql = """
+      SELECT COUNT(*) AS hot_cust FROM (
+        SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        INTERSECT
+        SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+        WHERE o_totalprice > 30000.0) hot"""
+  val qTpcdsQ38 = QDef("q_tpcds_q38", sqlQ(q38Sql), Some(q38Sql))
+
+  /** TPC-DS Q51 shape: two monthly aggregated streams (order value vs
+    * shipped revenue) FULL OUTER joined on month, then a running MAX
+    * window over the joined rows and a cross-stream comparison. The
+    * window is global but runs over ~84 MONTH rows (grain = months, not
+    * facts) — bounded at any data scale, so the single-partition window
+    * is safe here, unlike over raw rows (see SCALE.md on q_win_ntile).
+    */
+  private val q51Sql = s"""
+      WITH web AS (
+        SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT) AS ym,
+               CAST(${Exact.usumSql("o_totalprice", 2)} AS DOUBLE) / 1e2 AS v
+        FROM orders GROUP BY CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS INT)),
+      store AS (
+        SELECT CAST(YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS INT) AS ym,
+               CAST(${Exact.usumSql("l_extendedprice * (1 - l_discount)", 4)} AS DOUBLE) / 1e4 AS v
+        FROM lineitem GROUP BY CAST(YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS INT))
+      SELECT ym, web_cum, store_cum
+      FROM (SELECT COALESCE(web.ym, store.ym) AS ym,
+                   MAX(web.v) OVER (ORDER BY COALESCE(web.ym, store.ym)
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cum,
+                   MAX(store.v) OVER (ORDER BY COALESCE(web.ym, store.ym)
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cum
+            FROM web FULL OUTER JOIN store ON web.ym = store.ym) x
+      WHERE web_cum > store_cum ORDER BY ym"""
+  val qTpcdsQ51 = QDef("q_tpcds_q51", sqlQ(q51Sql), Some(q51Sql))
+
+  /** TPC-DS Q97 shape: key-overlap classification — two DISTINCT-key
+    * purchase profiles FULL OUTER joined, counting left-only/right-only/
+    * both. The profiles pre-shrink to distinct keys before the join, so
+    * the outer join input is #customers, not #orders.
+    */
+  private val q97Sql = """
+      WITH first_half AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+      second_half AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+      SELECT COUNT(CASE WHEN f.k IS NOT NULL AND s.k IS NULL THEN 1 END) AS early_only,
+             COUNT(CASE WHEN f.k IS NULL AND s.k IS NOT NULL THEN 1 END) AS late_only,
+             COUNT(CASE WHEN f.k IS NOT NULL AND s.k IS NOT NULL THEN 1 END) AS both_halves
+      FROM first_half f FULL OUTER JOIN second_half s ON f.k = s.k"""
+  val qTpcdsQ97 = QDef("q_tpcds_q97", sqlQ(q97Sql), Some(q97Sql))
+
+  val defs: Seq[QDef] = Seq(qTpcdsQ88, qTpcdsQ38, qTpcdsQ51, qTpcdsQ97)
+}

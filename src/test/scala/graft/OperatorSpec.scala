@@ -409,4 +409,26 @@ class OperatorSpec extends SparkSpecBase {
       assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"),
         s"$n degraded to a non-equi join:\n$s")
   }
+
+  test("TPC-DS batch-2 shapes: scalar bands push filters, INTERSECT dedups before joining") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q88: every band filter reaches the scan (8 pushed ranges), and the
+    // 1x1-row scalar combines never shuffle the fact.
+    val s88 = SparkEntry.queries("q_tpcds_q88")(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(s88.contains("GreaterThanOrEqual(l_quantity,1.0)")
+      && s88.contains("LessThanOrEqual(l_quantity,50.0)"),
+      s"Q88 band filters not pushed to the scans:\n$s88")
+    // Q38: INTERSECT plans as aggregated semi joins on the key — the fact
+    // payload (o_totalprice etc.) never crosses an exchange.
+    val s38 = plan("q_tpcds_q38")
+    assert(s38.contains("LeftSemi"), s"Q38 INTERSECT lost its semi join:\n$s38")
+    // Q51/Q97: FULL OUTER over pre-aggregated streams stays an equi join.
+    for (n <- Seq("q_tpcds_q51", "q_tpcds_q97")) {
+      val s = plan(n)
+      assert(s.contains("FullOuter"), s"$n lost the full outer join:\n$s")
+      assert(!s.contains("CartesianProduct"), s"$n degraded:\n$s")
+    }
+  }
 }
