@@ -301,7 +301,33 @@ object Scalars extends QModule {
         array_to_string(list_transform(w[1:3], x -> upper(x)), '-') AS up3
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"""))
 
+  /** Map higher-order functions over real data (not pinned literals):
+    * build a map per lineitem row, then transform_values / map_filter /
+    * map_zip_with / map_concat, projecting scalars back out. The oracle
+    * computes the same scalars with plain arithmetic — DuckDB has no
+    * equivalent map HOFs, which is exactly why the projection-based
+    * compare is the right gate here.
+    */
+  val qFnMap = QDef(
+    "q_fn_map",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_orderkey") <= 1000)
+      .selectExpr(
+        "l_orderkey", "l_linenumber",
+        "element_at(transform_values(map('qty', l_quantity, 'price', l_extendedprice), (k, v) -> v * 2.0), 'qty') AS qty2",
+        "size(map_filter(map('qty', l_quantity, 'price', l_extendedprice), (k, v) -> v > 1000.0)) AS n_big",
+        "element_at(map_zip_with(map('q', l_quantity), map('q', l_discount), (k, v1, v2) -> v1 * (1 - v2)), 'q') AS qdisc",
+        "cardinality(map_concat(map('a', 1), map('b', 2))) AS n_cat"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        l_quantity * 2.0 AS qty2,
+        CAST(CASE WHEN l_quantity > 1000.0 THEN 1 ELSE 0 END
+           + CASE WHEN l_extendedprice > 1000.0 THEN 1 ELSE 0 END AS INT) AS n_big,
+        l_quantity * (1 - l_discount) AS qdisc,
+        CAST(2 AS INT) AS n_cat
+      FROM lineitem WHERE l_orderkey <= 1000"""))
+
   val defs: Seq[QDef] = Seq(
     qFnString, qFnMath, qFnDatetime, qFnCond, qFnRegex, qFnJson, qFnHash,
-    qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc, qFnHof)
+    qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc, qFnHof, qFnMap)
 }

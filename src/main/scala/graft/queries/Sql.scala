@@ -81,6 +81,16 @@ object Sql extends QModule {
       FROM a NATURAL JOIN b GROUP BY k"""
   val qSqlNatural = QDef("q_sql_natural", sqlQ(naturalSql), Some(naturalSql))
 
+  /** GROUP BY ALL / ORDER BY ALL (SQL:2023-era sugar, Spark 3.4+): the
+    * resolver infers the grouping keys from the non-aggregate select list.
+    * Shared dialect — DuckDB resolves the same text identically.
+    */
+  private val groupAllSql = s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             ${graft.Exact.dsumSql("l_quantity", 2)} AS qty
+      FROM lineitem GROUP BY ALL ORDER BY ALL"""
+  val qSqlGroupAll = QDef("q_sql_groupall", sqlQ(groupAllSql), Some(groupAllSql))
+
   val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
-    qSqlNestedSet, qSqlLateral, qSqlNatural)
+    qSqlNestedSet, qSqlLateral, qSqlNatural, qSqlGroupAll)
 }

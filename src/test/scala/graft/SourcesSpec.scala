@@ -232,4 +232,36 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.sql("SELECT COUNT(*) FROM v_big").head().getLong(0) ==
       Tables.load(spark, sf, "orders").filter(col("o_totalprice") > 400000).count())
   }
+
+  test("Dataset.observe delivers named metrics without a second scan") {
+    // The operational metrics surface (AggregatingAccumulator under the
+    // hood): one pass computes the data AND the metrics.
+    import org.apache.spark.sql.Observation
+    val obs = Observation("li_metrics")
+    val li = Tables.load(spark, sf, "lineitem")
+    val n = li.observe(obs, count(lit(1)).as("n"),
+        min(col("l_quantity")).as("qmin"), max(col("l_quantity")).as("qmax"))
+      .filter(col("l_quantity") >= 0).count()
+    val m = obs.get
+    assert(m("n") == n, s"observed ${m("n")} vs counted $n")
+    assert(m("qmin") == 1.0 && m("qmax") == 50.0, s"quantity range off: $m")
+  }
+
+  test("DISTRIBUTE BY / CLUSTER BY / SORT BY plan exchange vs per-partition sort") {
+    Tables.register(spark, sf)
+    // DISTRIBUTE BY: hash exchange on the key, no sort.
+    val d = spark.sql("SELECT l_orderkey FROM lineitem DISTRIBUTE BY l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(d.contains("hashpartitioning(l_orderkey"), s"DISTRIBUTE BY lost its exchange:\n$d")
+    // CLUSTER BY = DISTRIBUTE BY + per-partition sort (global=false).
+    val c = spark.sql("SELECT l_orderkey FROM lineitem CLUSTER BY l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(c.contains("hashpartitioning(l_orderkey") && c.contains("ASC NULLS FIRST], false"),
+      s"CLUSTER BY shape wrong:\n$c")
+    // SORT BY: per-partition sort ONLY — no exchange may appear.
+    val s = spark.sql("SELECT l_orderkey FROM lineitem SORT BY l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(s.contains("ASC NULLS FIRST], false"), s"SORT BY not a partition-local sort:\n$s")
+    assert(!s.contains("Exchange"), s"SORT BY must not shuffle:\n$s")
+  }
 }
