@@ -163,7 +163,25 @@ object Stats extends QModule {
       FROM lineitem GROUP BY l_returnflag"""),
     None)
 
+  /** Per-source quota sampling: keep at most K documents per source,
+    * chosen by a deterministic content-hash order (md5 of the id, id
+    * tiebreak) — the source-balancing step of a training mixture. The
+    * rank filter plans as WindowGroupLimit (same pushdown as
+    * q_topk_perkey), so each partition keeps ≤K rows before the final
+    * window — one shuffle on source, never a global sort. Hot sources at
+    * 100 TB: pre-aggregate with the salted two-pass idiom
+    * ([[graft.operators.Salt]]) if a single source key dominates.
+    */
+  private val quotaSql = """
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+        FROM documents) ranked
+      WHERE rn <= 10"""
+  val qStatQuota = QDef("q_stat_quota", sqlQ(quotaSql), Some(quotaSql))
+
   val defs: Seq[QDef] = Seq(
     qStatCrosstab, qStatCovCorr, qStatBuiltin, qStatApproxQuantile, qStatSampleBy,
-    qStatMixture, qStatRegr, qStatRegrBuiltin)
+    qStatMixture, qStatRegr, qStatRegrBuiltin, qStatQuota)
 }

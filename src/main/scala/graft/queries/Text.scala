@@ -156,8 +156,34 @@ object Text extends QModule {
         WHERE len(w) >= 3)
       GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""))
 
+  /** Context-window chunking: split each document into fixed 200-char
+    * windows with stride 150 (50-char overlap) — the training-data
+    * pre-tokenization chunker. One generator per doc (`sequence` →
+    * `explode`), no shuffle at all: chunk count is derived from the
+    * stored n_chars, and the substring runs where the row already lives.
+    * At 100 TB this is a pure map stage — output partitioning follows
+    * input file splits. DuckDB mirrors with half-open `range` + UNNEST.
+    */
+  val qTextChunks = QDef(
+    "q_text_chunks",
+    (s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("""
+        SELECT doc_id, chunk_id,
+               substring(text, chunk_id * 150 + 1, 200) AS chunk,
+               CAST(length(substring(text, chunk_id * 150 + 1, 200)) AS INT) AS chunk_len
+        FROM (SELECT doc_id, text,
+                     explode(sequence(0, CAST(CEIL(n_chars / 150.0) AS INT) - 1)) AS chunk_id
+              FROM documents) x""")
+    },
+    Some("""
+      SELECT doc_id, CAST(g AS INT) AS chunk_id,
+             substring(text, CAST(g AS INT) * 150 + 1, 200) AS chunk,
+             CAST(length(substring(text, CAST(g AS INT) * 150 + 1, 200)) AS INT) AS chunk_len
+      FROM documents, UNNEST(range(0, CAST(CEIL(n_chars / 150.0) AS BIGINT))) AS t(g)"""))
+
   val defs: Seq[QDef] = Seq(
     qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
-    qTextRepetition, qTextNgramFreq)
+    qTextRepetition, qTextNgramFreq, qTextChunks)
 }
 

@@ -210,6 +210,10 @@ class OperatorSpec extends SparkSpecBase {
     val plan = SparkEntry.queries("q_topk_perkey")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+    // Same pushdown for the per-source quota sampler (rank <= K filter).
+    val quota = SparkEntry.queries("q_stat_quota")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(quota.contains("WindowGroupLimit"), s"quota lost the group-limit pushdown:\n$quota")
   }
 
   test("SessionCache memoizes one persisted DF per key and clear() releases it") {
