@@ -291,8 +291,22 @@ object Agg extends QModule {
       UNION ALL SELECT c_nationkey, 'min_bal', min_bal FROM m
       UNION ALL SELECT c_nationkey, 'max_bal', max_bal FROM m"""))
 
+  /** SQL:2003 FILTER (WHERE …) aggregate modifier — per-aggregate
+    * predicates without CASE rewrites, planned as conditional partial
+    * aggregation (still map-side combinable). The exact units sum inlines
+    * the positive-money fast path (no null/overflow guard needed for
+    * l_extendedprice, bounded by fixture domain); shared dialect.
+    */
+  private val filterSql = """
+      SELECT l_returnflag,
+             COUNT(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 1e2 + 0.5) AS BIGINT))
+                  FILTER (WHERE l_discount > 0.05) AS BIGINT) AS disc_units
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  val qAggFilter = QDef("q_agg_filter", sqlQ(filterSql), Some(filterSql))
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
     qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
-    qAggPercentile, qAggApprox, qAggUnpivot)
+    qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter)
 }

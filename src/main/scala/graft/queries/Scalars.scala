@@ -327,7 +327,30 @@ object Scalars extends QModule {
         CAST(2 AS INT) AS n_cat
       FROM lineitem WHERE l_orderkey <= 1000"""))
 
+  /** try_* family (ANSI-safe variants): under the engine's ANSI posture,
+    * try_divide/try_cast return NULL where the strict form would raise —
+    * the sanctioned way to keep dirty-data pipelines total. try_cast is
+    * shared dialect (DuckDB TRY_CAST); try_divide mirrors as a CASE.
+    */
+  val qFnTry = QDef(
+    "q_fn_try",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_orderkey") <= 200)
+      .selectExpr(
+        "l_orderkey", "l_linenumber",
+        "try_divide(l_extendedprice, l_quantity - 25.0) AS safe_div",
+        "try_cast(l_returnflag AS INT) AS rf_int",
+        "try_cast(CAST(l_quantity AS STRING) AS DOUBLE) AS q_rt"),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_quantity = 25.0 THEN NULL
+             ELSE l_extendedprice / (l_quantity - 25.0) END AS safe_div,
+        TRY_CAST(l_returnflag AS INT) AS rf_int,
+        TRY_CAST(CAST(l_quantity AS STRING) AS DOUBLE) AS q_rt
+      FROM lineitem WHERE l_orderkey <= 200"""))
+
   val defs: Seq[QDef] = Seq(
     qFnString, qFnMath, qFnDatetime, qFnCond, qFnRegex, qFnJson, qFnHash,
-    qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc, qFnHof, qFnMap)
+    qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc, qFnHof, qFnMap,
+    qFnTry)
 }
