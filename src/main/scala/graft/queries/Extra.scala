@@ -109,6 +109,24 @@ object Extra extends QModule {
              COUNT(*) AS cnt
       FROM lineitem GROUP BY l_suppkey"""))
 
+  /** RangeExec as a declared source (not just a spec): `spark.range` is
+    * the zero-I/O generator — each partition synthesizes its own slice, so
+    * it parallelizes with no input files at all. DuckDB mirrors with
+    * half-open `range` + UNNEST.
+    */
+  val qSrcRange = QDef(
+    "q_src_range",
+    (s, _) => {
+      import s.implicits._
+      s.range(0L, 1000L, 7L)
+        .filter($"id" % 2 === 0)
+        .select($"id", ($"id" * 3).as("v"))
+    },
+    Some("""
+      SELECT CAST(id AS BIGINT) AS id, id * 3 AS v
+      FROM (SELECT UNNEST(range(0, 1000, 7)) AS id) t
+      WHERE id % 2 = 0 ORDER BY id"""))
+
   val defs: Seq[QDef] = Seq(qAggWeighted, qMmFeatures, qMmFrames, qTopkPerKey,
-    qTopkAgg, qSaltedAgg)
+    qTopkAgg, qSaltedAgg, qSrcRange)
 }

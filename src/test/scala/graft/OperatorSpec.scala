@@ -414,6 +414,16 @@ class OperatorSpec extends SparkSpecBase {
         s"$n degraded to a non-equi join:\n$s")
   }
 
+  test("join strategy hints are honored (BROADCAST / MERGE / SHUFFLE_HASH)") {
+    Tables.register(spark, sf)
+    def planOf(hint: String) = spark.sql(
+      s"SELECT /*+ $hint(o) */ c_name, o_totalprice FROM customer c JOIN orders o ON c_custkey = o_custkey")
+      .queryExecution.executedPlan.toString
+    assert(planOf("BROADCAST").contains("BroadcastHashJoin"), "BROADCAST hint ignored")
+    assert(planOf("MERGE").contains("SortMergeJoin"), "MERGE hint ignored")
+    assert(planOf("SHUFFLE_HASH").contains("ShuffledHashJoin"), "SHUFFLE_HASH hint ignored")
+  }
+
   test("TPC-DS batch-2 shapes: scalar bands push filters, INTERSECT dedups before joining") {
     def plan(name: String) =
       SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
