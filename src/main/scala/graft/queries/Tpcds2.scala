@@ -95,5 +95,60 @@ object Tpcds2 extends QModule {
       FROM first_half f FULL OUTER JOIN second_half s ON f.k = s.k"""
   val qTpcdsQ97 = QDef("q_tpcds_q97", sqlQ(q97Sql), Some(q97Sql))
 
-  val defs: Seq[QDef] = Seq(qTpcdsQ88, qTpcdsQ38, qTpcdsQ51, qTpcdsQ97)
+  /** TPC-DS Q74 shape: year-over-year growth — ONE per-(customer, year)
+    * aggregate CTE self-joined on the key with different year bindings,
+    * then a ratio filter. The CTE materializes once per reference under
+    * exchange reuse; units stay exact BIGINT until the final division
+    * (denominator is a positive money sum — never zero).
+    */
+  private val q74Sql = s"""
+      WITH yt AS (
+        SELECT o_custkey AS k, CAST(YEAR(o_orderdate) AS INT) AS yr,
+               ${Exact.usumSql("o_totalprice", 2)} AS units
+        FROM orders WHERE CAST(YEAR(o_orderdate) AS INT) IN (1997, 1998)
+        GROUP BY o_custkey, CAST(YEAR(o_orderdate) AS INT))
+      SELECT t1.k AS c_key, CAST(t2.units AS DOUBLE) / CAST(t1.units AS DOUBLE) AS growth
+      FROM yt t1 JOIN yt t2 ON t1.k = t2.k
+      WHERE t1.yr = 1997 AND t2.yr = 1998 AND t2.units > t1.units
+      ORDER BY c_key"""
+  val qTpcdsQ74 = QDef("q_tpcds_q74", sqlQ(q74Sql), Some(q74Sql))
+
+  /** TPC-DS Q23 shape: frequent items × best customers — two aggregate
+    * CTEs feeding IN-subqueries over the fact join, one of them gated by
+    * an uncorrelated scalar over its own CTE (half of max spend). Both
+    * INs plan as semi joins on bare keys; the threshold compare stays in
+    * exact units.
+    */
+  private val q23Sql = s"""
+      WITH spend AS (
+        SELECT o_custkey AS k, ${Exact.usumSql("o_totalprice", 2)} AS units
+        FROM orders GROUP BY o_custkey),
+      freq AS (
+        SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 40)
+      SELECT ${Exact.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS freq_big_revenue
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_partkey IN (SELECT l_partkey FROM freq)
+        AND o_custkey IN (SELECT k FROM spend
+                          WHERE units > (SELECT CAST(FLOOR(CAST(MAX(units) AS DOUBLE) * 0.5) AS BIGINT)
+                                         FROM spend))"""
+  val qTpcdsQ23 = QDef("q_tpcds_q23", sqlQ(q23Sql), Some(q23Sql))
+
+  /** TPC-DS Q93 shape: returns-adjusted supplier revenue — the fact table
+    * LEFT-joined to its own returned subset on the (orderkey, linenumber)
+    * natural key, matched rows discounted, then grouped. Stresses the
+    * self outer join + conditional aggregation path; at scale both sides
+    * shuffle on the same compound key, so AQE plans one co-partitioned
+    * sort-merge.
+    */
+  private val q93Sql = s"""
+      SELECT l_suppkey,
+             ${Exact.dsumSql("CASE WHEN r.rok IS NOT NULL THEN l.l_extendedprice * (1 - l.l_discount) * 0.5 ELSE l.l_extendedprice * (1 - l.l_discount) END", 4)} AS net_revenue
+      FROM lineitem l LEFT JOIN (
+        SELECT l_orderkey AS rok, l_linenumber AS rln FROM lineitem WHERE l_returnflag = 'R') r
+        ON l.l_orderkey = r.rok AND l.l_linenumber = r.rln
+      GROUP BY l_suppkey ORDER BY l_suppkey"""
+  val qTpcdsQ93 = QDef("q_tpcds_q93", sqlQ(q93Sql), Some(q93Sql))
+
+  val defs: Seq[QDef] = Seq(qTpcdsQ88, qTpcdsQ38, qTpcdsQ51, qTpcdsQ97,
+    qTpcdsQ74, qTpcdsQ23, qTpcdsQ93)
 }
