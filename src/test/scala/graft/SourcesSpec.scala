@@ -50,6 +50,59 @@ class SourcesSpec extends SparkSpecBase {
     assert(pruned.count() == src.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("dynamic partition pruning injects a runtime filter into the fact scan") {
+    // The 100-TB essential: a filter on the DIM side prunes fact
+    // partitions at RUNTIME (reference `CAT/execution/dynamicpruning/
+    // PartitionPruning.scala` lineage) — without DPP a star join scans
+    // every partition of the fact.
+    // The dim filter must be non-foldable: a literal flag would constant-
+    // fold into STATIC partition pruning and no runtime filter is needed.
+    import spark.implicits._
+    val dir = tmp("graft-dpp")
+    val li = Tables.load(spark, sf, "lineitem")
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // The dim must also be file-backed: a filtered LocalRelation collapses
+    // to a pre-evaluated LocalTableScan, leaving no selective predicate
+    // for PartitionPruning to detect.
+    val dimDir = tmp("graft-dpp-dim")
+    Seq(("R", 1), ("A", 0), ("N", 0)).toDF("flag", "keep")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("keep") === 1)
+    val joined = fact.join(broadcast(dim), fact("l_returnflag") === dim("flag"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP filter on the partition column:\n$plan")
+    assert(joined.count() == li.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("runtime bloom filter prunes the probe side of a shuffled join") {
+    // The non-partition-column sibling of DPP (reference lineage:
+    // InjectRuntimeFilter): a selective dim filter becomes a bloom filter
+    // applied to the fact scan before the shuffle. Size thresholds are
+    // tuned for 10 GB+ scans, so the spec pins them down to fixture scale.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffled join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = Tables.load(spark, sf, "lineitem")
+      val dim = src.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val joined = li.join(dim, li("l_orderkey") === dim("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketBy table avoids shuffle on bucketed-key aggregation") {
     val wh = tmp("graft-wh")
     // external table (explicit path) in the session catalog, bucketed by key
