@@ -50,4 +50,48 @@ object AsOf {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) :+ col(out): _*)
   }
+
+  /** [[joinLast]] with a staleness bound (pandas merge_asof `tolerance`):
+    * the matched right value is nulled when it is more than `toleranceUs`
+    * microseconds older than the left timestamp. The matched (ts, value)
+    * pair is carried ATOMICALLY as one struct through the window, so the
+    * staleness check always tests the timestamp of the row that supplied
+    * the value. Same single-shuffle plan as [[joinLast]].
+    */
+  def joinLastWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightVal: String,
+      out: String,
+      toleranceUs: Long): DataFrame = {
+    val leftCols = left.columns
+    val l2 = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(rightVal).dataType))
+    val r2 = right.select(
+      col(key), col(rightTs).as("__t"), lit(0).as("__side"), col(rightVal).as("__v"))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Staleness in the ts column's own units: micros for timestamps,
+    // raw difference for numeric time columns.
+    def units(c: org.apache.spark.sql.Column) =
+      left.schema(leftTs).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    u.withColumn("__pair",
+        last(when(col("__side") === 0, struct(col("__t").as("t"), col("__v").as("v"))),
+          ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn(out,
+        when(units(col("__t")) - units(col("__pair.t")) <= toleranceUs,
+          col("__pair.v")))
+      .select(leftCols.map(col) :+ col(out): _*)
+  }
 }

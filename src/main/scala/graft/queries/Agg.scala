@@ -305,8 +305,32 @@ object Agg extends QModule {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   val qAggFilter = QDef("q_agg_filter", sqlQ(filterSql), Some(filterSql))
 
+  /** SQL:2008 inverse-distribution syntax — percentile_cont/disc WITHIN
+    * GROUP (ORDER BY …). Quantiles run on the integral l_quantity so the
+    * linear interpolation is exact in doubles on both engines (the
+    * interpolation FORMULA can differ by an ulp on arbitrary doubles);
+    * DuckDB mirrors with quantile_cont/quantile_disc.
+    */
+  val qAggPctWithin = QDef(
+    "q_agg_pctwithin",
+    (s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("""
+        SELECT l_returnflag,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS med,
+               percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS p90d
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.5) AS med,
+             quantile_disc(l_quantity, 0.9) AS p90d
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
     qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
-    qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter)
+    qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter, qAggPctWithin)
 }

@@ -168,6 +168,29 @@ object Joins extends QModule {
       FROM events p WHERE p.event_type = 'purchase'"""),
     bench = true)
 
+  /** As-of join with tolerance: same as q_join_asof but the match is
+    * nulled when the latest prior click is more than one hour stale
+    * (pandas merge_asof `tolerance` semantics, [[AsOf.joinLastWithin]]).
+    */
+  val qJoinAsofTol = QDef(
+    "q_join_asof_tol",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("click_us"))
+      AsOf.joinLastWithin(purchases, clicks, "user_id", "ts", "ts", "click_us",
+          "last_click_us", 3600000000L)
+        .select("event_id", "last_click_us")
+    },
+    Some("""
+      SELECT p.event_id,
+             (SELECT epoch_us(MAX(c.ts)) FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR) AS last_click_us
+      FROM events p WHERE p.event_type = 'purchase'"""))
+
   /** Range (interval) join via bucketed equi-join: candidates meet on
     * (user, 10-min bucket) ∪ (user, bucket+1), then the exact range filter
     * — shuffle-friendly; candidate fan-out is bounded by bucket width.
@@ -202,5 +225,5 @@ object Joins extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinMulti, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi,
-    qJoinAnti, qJoinCross, qJoinTheta, qJoinAsof, qJoinRange)
+    qJoinAnti, qJoinCross, qJoinTheta, qJoinAsof, qJoinAsofTol, qJoinRange)
 }

@@ -105,7 +105,31 @@ object SetOps extends QModule {
       SELECT o_orderkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10"""))
 
+  /** unionByName(allowMissingColumns): schema-flexible union — columns
+    * matched by NAME (not position), absent columns null-filled. DuckDB
+    * mirrors with UNION ALL BY NAME. The Spark side deliberately orders
+    * the two select lists differently to prove positional union would be
+    * wrong.
+    */
+  val qSetUnionByName = QDef(
+    "q_set_unionbyname",
+    (s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderkey") <= 100)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), lit("ord").as("src"))
+      val c = t(s, d, "customer").filter(col("c_custkey") <= 100)
+        .select(lit("cust").as("src"), col("c_custkey").as("k"), col("c_acctbal").as("v"))
+      o.unionByName(c.withColumn("extra", lit(1)).drop("extra"), allowMissingColumns = true)
+        .select(col("k"), col("v").cast("double").as("v"), col("src"))
+    },
+    Some("""
+      SELECT k, CAST(v AS DOUBLE) AS v, src FROM (
+        SELECT o_orderkey AS k, o_totalprice AS v, 'ord' AS src
+        FROM orders WHERE o_orderkey <= 100
+        UNION ALL BY NAME
+        SELECT 'cust' AS src, c_custkey AS k, c_acctbal AS v
+        FROM customer WHERE c_custkey <= 100) u"""))
+
   val defs: Seq[QDef] = Seq(
     qSetUnion, qSetUnionAll, qSetIntersect, qSetExcept, qSetExceptAll,
-    qSetIntersectAll, qSetDistinct, qSortTopk, qSortOffset)
+    qSetIntersectAll, qSetDistinct, qSortTopk, qSortOffset, qSetUnionByName)
 }

@@ -67,6 +67,40 @@ class PropertySpec extends SparkSpecBase {
     }, cases = 8)
   }
 
+  test("AsOf.joinLastWithin nulls exactly the stale matches (merge_asof tolerance)") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 20L); v <- Gen.choose(-50L, 50L)
+    } yield (k, t, v.toDouble)
+    val gen = for {
+      ls <- Gen.nonEmptyListOf(rowGen)
+      rs <- Gen.listOf(rowGen)
+      tol <- Gen.choose(0L, 10L)
+    } yield (ls, rs, tol)
+    check("asof_tol", Prop.forAll(gen) { case (ls, rs, tol) =>
+      val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.toDF("k", "rts", "rv")
+      val got = operators.AsOf
+        .joinLastWithin(left, right, "k", "ts", "rts", "rv", "asof_v", tol)
+        .select("lid", "asof_v")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val want = ls.zipWithIndex.map { case ((k, t, _), i) =>
+        val cands = rs.filter(r => r._1 == k && r._2 <= t)
+        // the match is the latest-prior row FIRST, staleness-checked AFTER
+        // (merge_asof semantics — a fresher-but-not-latest row never wins)
+        i.toLong -> (if (cands.isEmpty) None
+                     else {
+                       val (rt, rv) = { val c = cands.maxBy(r => (r._2, r._3)); (c._2, c._3) }
+                       if (t - rt <= tol) Some(rv) else None
+                     })
+      }.toMap
+      got == want
+    }, cases = 8)
+  }
+
   test("TopKAgg matches per-key sort-and-take for arbitrary inputs") {
     import spark.implicits._
     val rowGen = for {
