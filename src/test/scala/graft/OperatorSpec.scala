@@ -414,6 +414,40 @@ class OperatorSpec extends SparkSpecBase {
         s"$n degraded to a non-equi join:\n$s")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // The 100-TB hot-key story: one key owning most rows would pin a
+    // single reducer; AQE's skewJoin splits that partition after the map
+    // stage. Thresholds are tuned down to fire at fixture scale.
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep it a shuffled join
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 50k rows on ONE key vs 100 spread keys; right side small but not broadcast
+      val skewed = spark.range(0, 51000)
+        .select(when($"id" < 50000, lit(7L)).otherwise($"id" % 100).as("k"),
+          concat(lit("payload-padding-to-make-rows-wide-"), $"id").as("pad"))
+      val dim = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("dv"))
+      val joined = skewed.join(dim, "k")
+      assert(joined.collect().length == 51000) // executes THIS plan instance
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("join strategy hints are honored (BROADCAST / MERGE / SHUFFLE_HASH)") {
     Tables.register(spark, sf)
     def planOf(hint: String) = spark.sql(
