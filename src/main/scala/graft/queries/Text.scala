@@ -182,8 +182,36 @@ object Text extends QModule {
              CAST(length(substring(text, CAST(g AS INT) * 150 + 1, 200)) AS INT) AS chunk_len
       FROM documents, UNNEST(range(0, CAST(CEIL(n_chars / 150.0) AS BIGINT))) AS t(g)"""))
 
+  /** Sequence packing (concat-then-chunk): assign each document its bin
+    * span in fixed 512-token training sequences, packing per language in
+    * a deterministic md5 order — the standard pretraining batch-packing
+    * layout (documents may straddle bin boundaries; first_bin/last_bin/
+    * bin_offset describe the placement). The running total is an exact
+    * BIGINT window sum partitioned BY LANG, so packing parallelizes
+    * across languages; a single dominant stratum falls back to the
+    * two-pass per-partition-offset idiom (see q_win_ntile_dist).
+    * Shared Spark∩DuckDB dialect.
+    */
+  private val packSql = """
+      WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+        FROM documents),
+      cum AS (
+        SELECT doc_id, lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+                                         ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM toks)
+      SELECT doc_id, lang, n_tok,
+             CAST(FLOOR(CAST(cum_before AS DOUBLE) / 512.0) AS BIGINT) AS first_bin,
+             CAST(FLOOR(CAST(cum_before + n_tok - 1 AS DOUBLE) / 512.0) AS BIGINT) AS last_bin,
+             CAST(cum_before % 512 AS BIGINT) AS bin_offset
+      FROM cum"""
+  val qTextPack = QDef("q_text_pack", sqlQ(packSql), Some(packSql))
+
   val defs: Seq[QDef] = Seq(
     qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
-    qTextRepetition, qTextNgramFreq, qTextChunks)
+    qTextRepetition, qTextNgramFreq, qTextChunks, qTextPack)
 }
 
