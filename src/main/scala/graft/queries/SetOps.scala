@@ -129,7 +129,34 @@ object SetOps extends QModule {
         SELECT 'cust' AS src, c_custkey AS k, c_acctbal AS v
         FROM customer WHERE c_custkey <= 100) u"""))
 
+  /** CSV and JSON write→read round-trips as ORACLE-CHECKED queries (not
+    * just specs): orders is written to the text format, read back with an
+    * explicit schema, and aggregated; the oracle aggregates the original
+    * parquet directly — equality proves the round-trip is lossless
+    * (Java's shortest-round-trip double formatting re-parses to the
+    * identical bits). The write is a per-query temp dir, coalesced small.
+    */
+  private def roundTrip(fmt: String): QFn = (s, d) => {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-rt-$fmt").toString
+    val src = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    src.coalesce(2).write.mode("overwrite")
+      .option("header", "true").format(fmt).save(dir)
+    val back = s.read.schema(src.schema)
+      .option("header", "true").format(fmt).load(dir)
+    back.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.dsum(col("o_totalprice"), 2).as("total"))
+  }
+  private val rtOracle = s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             ${graft.Exact.dsumSql("o_totalprice", 2)} AS total
+      FROM orders GROUP BY o_orderstatus"""
+  val qSrcCsv = QDef("q_src_csv", roundTrip("csv"), Some(rtOracle))
+  val qSrcJson = QDef("q_src_json", roundTrip("json"), Some(rtOracle))
+
   val defs: Seq[QDef] = Seq(
     qSetUnion, qSetUnionAll, qSetIntersect, qSetExcept, qSetExceptAll,
-    qSetIntersectAll, qSetDistinct, qSortTopk, qSortOffset, qSetUnionByName)
+    qSetIntersectAll, qSetDistinct, qSortTopk, qSortOffset, qSetUnionByName,
+    qSrcCsv, qSrcJson)
 }

@@ -146,6 +146,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("stream-stream join state stays watermark-bounded (evicted, not cumulative)") {
+    // The 100-TB streaming claim made empirical: after the whole input is
+    // processed in ts order, the symmetric-hash-join state holds only the
+    // watermark horizon (10/20 min + the 10-min range), not the history.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = Streams.purchaseClickJoin(input.toDF())
+      .writeStream.format("memory").queryName("t_state_bound")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunked(batchEvents, 16).foreach { c => input.addData(c); q.processAllAvailable() }
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty, "no stateful operator reported progress")
+      val stateRows = state.map(_.numRowsTotal).sum
+      val joinInput = batchEvents.count(e => e.event_type == "purchase" || e.event_type == "click")
+      assert(stateRows > 0, "join kept no state at all — nothing was buffered")
+      assert(stateRows < joinInput / 2,
+        s"state $stateRows vs $joinInput join-side inputs — watermark is not evicting")
+    } finally q.stop()
+  }
+
   test("streaming dynamic-gap session_window (append) equals batch") {
     // Gap depends on each event's own type (purchase 60m, else 30m) —
     // merge semantics are interval-union, not a constant-gap lag compare.
