@@ -168,6 +168,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("multiple watermarks: the global watermark is the MIN across inputs") {
+    // Two watermarked inputs unioned into one aggregation: a window may
+    // only close when BOTH inputs' watermarks have passed it (default
+    // multipleWatermarkPolicy=min) — the slowest source gates emission.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val fast = MemoryStream[Event]
+    val slow = MemoryStream[Event]
+    val df = fast.toDF().withWatermark("ts", "10 minutes")
+      .unionByName(slow.toDF().withWatermark("ts", "10 minutes"))
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+    val q = df.writeStream.format("memory").queryName("t_multiwm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = batchEvents.head.ts.getTime
+      def ev(offMin: Long) =
+        Event(offMin, new Timestamp(t0 + offMin * 60000L), 1L, "view", 0.0)
+      // fast races 5 hours ahead; slow stays at t0 — nothing may close yet
+      fast.addData(Seq(ev(0), ev(300)))
+      slow.addData(Seq(ev(1)))
+      q.processAllAvailable()
+      assert(spark.table("t_multiwm").count() == 0,
+        "window closed although the slow input's watermark had not passed it")
+      // slow catches up to t0+200min: global wm = t0+190min — only the
+      // early windows (holding ev(0) and ev(1)) close; ev(200)/ev(300)'s
+      // own windows stay open.
+      slow.addData(Seq(ev(200)))
+      q.processAllAvailable()
+      val closed = spark.table("t_multiwm").collect().map(_.getLong(1)).toSeq
+      assert(closed.nonEmpty, "first window did not close after the slow input advanced")
+      assert(closed.sum == 2, s"closed windows should hold the 2 early events, got $closed")
+    } finally q.stop()
+  }
+
   test("streaming dynamic-gap session_window (append) equals batch") {
     // Gap depends on each event's own type (purchase 60m, else 30m) —
     // merge semantics are interval-union, not a constant-gap lag compare.
