@@ -137,7 +137,8 @@ object SetOps extends QModule {
     * identical bits). The write is a per-query temp dir, coalesced small.
     */
   private def roundTrip(fmt: String): QFn = (s, d) => {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-rt-$fmt").toString
+    // fixed path + overwrite: repeated Verify runs reuse one directory
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rt-$fmt"
     val src = t(s, d, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     src.coalesce(2).write.mode("overwrite")
