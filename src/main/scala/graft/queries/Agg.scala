@@ -329,8 +329,25 @@ object Agg extends QModule {
              quantile_disc(l_quantity, 0.9) AS p90d
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** COUNT(DISTINCT) under ROLLUP — the Expand×distinct planner
+    * interplay: grouping-set expansion multiplies rows BEFORE the
+    * distinct-aggregate's own two-phase dedup, so the plan must stack
+    * one Expand (grouping sets) inside another aggregation pipeline
+    * (distinct). Exactly the shape that breaks naive planners.
+    */
+  private val rollupDistinctSql = """
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST"""
+  val qAggRollupDistinct = QDef(
+    "q_agg_rollupdistinct", sqlQ(rollupDistinctSql), Some(rollupDistinctSql))
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
     qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
-    qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter, qAggPctWithin)
+    qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter, qAggPctWithin,
+    qAggRollupDistinct)
 }

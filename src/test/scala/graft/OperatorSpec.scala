@@ -414,6 +414,37 @@ class OperatorSpec extends SparkSpecBase {
         s"$n degraded to a non-equi join:\n$s")
   }
 
+  test("ANSI posture: errors raise loudly, try_* and the Exact guard behave as documented") {
+    import spark.implicits._
+    // integral division by zero is an ERROR, not a silent null
+    intercept[Exception] {
+      spark.sql("SELECT 1 div 0").collect()
+    }
+    // invalid cast is an ERROR under ANSI...
+    intercept[Exception] {
+      spark.sql("SELECT CAST('not-a-number' AS INT)").collect()
+    }
+    // ...and try_cast is the sanctioned NULL-on-error escape hatch
+    assert(spark.sql("SELECT try_cast('not-a-number' AS INT)").head.isNullAt(0))
+    // Exact.dsum refuses to overflow silently: units beyond the BIGINT
+    // guard route through a loud string->long cast error
+    intercept[Exception] {
+      Seq(9.0e15, 1.0).toDF("v").agg(Exact.dsum(col("v"), 4)).collect()
+    }
+    // in range, the same expression is exact
+    assert(Seq(1.07, 2.03).toDF("v").agg(Exact.dsum(col("v"), 2))
+      .head.getDouble(0) == 3.10)
+  }
+
+  test("Engine session carries the production posture (ANSI, AQE, RocksDB, UTC)") {
+    val c = spark.conf
+    assert(c.get("spark.sql.ansi.enabled") == "true")
+    assert(c.get("spark.sql.adaptive.enabled") == "true")
+    assert(c.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(c.get("spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
+    assert(c.get("spark.sql.session.timeZone") == "UTC")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
     // The 100-TB hot-key story: one key owning most rows would pin a
     // single reducer; AQE's skewJoin splits that partition after the map
