@@ -149,6 +149,31 @@ object Tpcds2 extends QModule {
       GROUP BY l_suppkey ORDER BY l_suppkey"""
   val qTpcdsQ93 = QDef("q_tpcds_q93", sqlQ(q93Sql), Some(q93Sql))
 
+  /** TPC-DS Q47 shape: anomalous months — lag/lead windows AND an
+    * unordered per-key aggregate window over the SAME aggregated monthly
+    * series, compared against the per-key average. One shuffle builds the
+    * monthly grain; all three window frames then share one partitioning
+    * (sk) — no second exchange. The average is exact-sum/count, a single
+    * double division per row.
+    */
+  private val q47Sql = s"""
+      WITH monthly AS (
+        SELECT l_suppkey AS sk,
+               CAST(YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS INT) AS ym,
+               ${Exact.usumSql("l_extendedprice", 2)} AS units
+        FROM lineitem
+        GROUP BY l_suppkey, CAST(YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS INT))
+      SELECT sk, ym, v, avg_v, prev_v, next_v
+      FROM (SELECT sk, ym, CAST(units AS DOUBLE) / 1e2 AS v,
+                   CAST(CAST(SUM(units) OVER (PARTITION BY sk) AS BIGINT) AS DOUBLE)
+                     / (1e2 * COUNT(*) OVER (PARTITION BY sk)) AS avg_v,
+                   CAST(CAST(LAG(units) OVER (PARTITION BY sk ORDER BY ym) AS BIGINT) AS DOUBLE) / 1e2 AS prev_v,
+                   CAST(CAST(LEAD(units) OVER (PARTITION BY sk ORDER BY ym) AS BIGINT) AS DOUBLE) / 1e2 AS next_v
+            FROM monthly) x
+      WHERE v > 1.2 * avg_v
+      ORDER BY sk, ym"""
+  val qTpcdsQ47 = QDef("q_tpcds_q47", sqlQ(q47Sql), Some(q47Sql))
+
   val defs: Seq[QDef] = Seq(qTpcdsQ88, qTpcdsQ38, qTpcdsQ51, qTpcdsQ97,
-    qTpcdsQ74, qTpcdsQ23, qTpcdsQ93)
+    qTpcdsQ74, qTpcdsQ23, qTpcdsQ93, qTpcdsQ47)
 }

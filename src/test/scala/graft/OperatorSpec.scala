@@ -509,5 +509,11 @@ class OperatorSpec extends SparkSpecBase {
       assert(s.contains("FullOuter"), s"$n lost the full outer join:\n$s")
       assert(!s.contains("CartesianProduct"), s"$n degraded:\n$s")
     }
+    // Q47: the three window frames (lag, lead, per-key aggregate) share
+    // ONE hash exchange on sk — windows re-sort, they don't re-shuffle.
+    val s47 = plan("q_tpcds_q47")
+    val skExchanges = s47.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(sk"))
+    assert(skExchanges == 1, s"Q47 windows re-shuffled ($skExchanges sk exchanges):\n$s47")
   }
 }
