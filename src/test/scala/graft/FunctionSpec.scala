@@ -143,4 +143,29 @@ class FunctionSpec extends SparkSpecBase {
     assert(cg.values.sum == orders.count())
     assert(cg.count(_._2 == 0) == SparkEntry.queries("q_join_anti")(spark, sf).count())
   }
+
+  test("typed joinWith and reduceGroups match their untyped equivalents") {
+    import spark.implicits._
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_custkey", "o_totalprice").as[(Long, Double)]
+    val customers = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_acctbal").as[(Long, Double)]
+    // joinWith keeps both sides as TYPED tuples (no column flattening)
+    val jw = customers.joinWith(orders, customers("c_custkey") === orders("o_custkey"))
+    assert(jw.head()._1 != null)
+    assert(jw.count() == Tables.load(spark, sf, "orders").count(),
+      "inner joinWith must pair every order with its customer")
+    // outer joinWith null-pads the missing side as a null OBJECT
+    val jwLeft = customers.joinWith(orders,
+      customers("c_custkey") === orders("o_custkey") && orders("o_totalprice") > 400000.0,
+      "left_outer")
+    assert(jwLeft.filter(_._2 == null).count() > 0, "left joinWith lost its null padding")
+    // reduceGroups: per-key max(total) equals the untyped agg
+    val rg = orders.groupByKey(_._1)
+      .reduceGroups((a, b) => if (a._2 >= b._2) a else b)
+      .map { case (k, (_, v)) => (k, v) }.collect().toMap
+    val want = Tables.load(spark, sf, "orders").groupBy("o_custkey")
+      .agg(max("o_totalprice")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rg == want)
+  }
 }
