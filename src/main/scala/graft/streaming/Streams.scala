@@ -86,6 +86,21 @@ object Streams {
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Streaming CONTENT dedup for an ingest pipeline: normalize text
+    * (lowercase, collapsed whitespace — the q_dedup_norm rule), digest it,
+    * and keep first-seen digests within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`, so re-deliveries with drifted
+    * timestamps still dedup). State = one digest per distinct document in
+    * the horizon — the text itself never enters the state store.
+    */
+  def dedupDocStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("digest", // the q_dedup_norm fingerprint rule, verbatim
+        md5(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Stream-stream join: purchases enriched with clicks of the same user
     * at most 10 minutes earlier. Watermarks on BOTH sides + the range
     * condition let StreamingSymmetricHashJoinExec evict state (reference

@@ -479,6 +479,37 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE converts a planned sort-merge join to broadcast at runtime") {
+    // Runtime re-planning (the engine's answer to Sol's adaptive
+    // scheduling): the STATIC planner sees no size estimate under the
+    // broadcast threshold, plans SMJ; after the map stage AQE reads the
+    // actual shuffle size and converts to a broadcast join.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.localShuffleReader.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")   // static: never broadcast
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB") // runtime: allowed
+      conf.set("spark.sql.adaptive.localShuffleReader.enabled", "true")
+      val li = Tables.load(spark, sf, "lineitem").select("l_suppkey", "l_quantity")
+      val sup = Tables.load(spark, sf, "supplier").select("s_suppkey", "s_name")
+      val joined = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      // static plan: SMJ (broadcast disabled at planning time)
+      val staticPlan = joined.queryExecution.executedPlan.toString
+      assert(staticPlan.contains("SortMergeJoin"), s"expected initial SMJ:\n$staticPlan")
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE did not convert to broadcast:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("join strategy hints are honored (BROADCAST / MERGE / SHUFFLE_HASH)") {
     Tables.register(spark, sf)
     def planOf(hint: String) = spark.sql(

@@ -103,6 +103,37 @@ class StreamingSpec extends SparkSpecBase {
       s"drifted re-deliveries not deduped: ${got.count()} vs ${es.size}")
   }
 
+  test("streaming content dedup keeps one row per normalized text digest") {
+    // The ingest-pipeline shape: duplicate documents (exact + whitespace/
+    // case variants) re-delivered across micro-batches with drifted
+    // timestamps must all collapse onto the first-seen digest.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val texts = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).take(100)
+    val t0 = 1700000000000L
+    def doc(id: Long, txt: String, offSec: Long) =
+      (id, new java.sql.Timestamp(t0 + offSec * 1000), txt)
+    val batch1 = texts.map { case (id, tx) => doc(id, tx, id % 60) }
+    val batch2 = texts.take(40).map { case (id, tx) =>
+      doc(id + 100000, tx.toUpperCase + "  ", 60 + id % 60) } // drifted near-dups
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streams.dedupDocStream(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("t_docdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batch1.toSeq); q.processAllAvailable()
+      input.addData(batch2.toSeq); q.processAllAvailable()
+      val kept = spark.table("t_docdedup")
+      val norm = (t: String) => t.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+      val distinctDigests = texts.map(t => norm(t._2)).distinct.length
+      assert(kept.count() == distinctDigests,
+        s"${kept.count()} kept vs $distinctDigests distinct normalized texts")
+      // every survivor is a batch-1 row: the drifted variants all deduped
+      assert(kept.filter(col("doc_id") >= 100000L).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup removes duplicate event_ids across micro-batches") {
     val es = batchEvents.take(200)
     val withDups = chunked(es, 4) :+ es.take(50) // re-feed within watermark
