@@ -91,6 +91,38 @@ object Sql extends QModule {
       FROM lineitem GROUP BY ALL ORDER BY ALL"""
   val qSqlGroupAll = QDef("q_sql_groupall", sqlQ(groupAllSql), Some(groupAllSql))
 
+  /** Lateral column aliases (Spark 3.4+): a SELECT-list alias referenced
+    * by a LATER item in the same list — no subquery nesting needed.
+    * DuckDB resolves the same text identically.
+    */
+  private val lateralAliasSql = """
+      SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net,
+             net * (1 + l_tax) AS gross
+      FROM lineitem WHERE l_orderkey <= 20 ORDER BY l_orderkey, net"""
+  val qSqlLateralAlias = QDef(
+    "q_sql_lateralalias", sqlQ(lateralAliasSql), Some(lateralAliasSql))
+
+  /** VARIANT (Spark 4.x semi-structured type): parse_json into a variant,
+    * variant_get typed extraction, missing paths → NULL. The oracle
+    * mirrors with DuckDB's JSON extraction.
+    */
+  val qSqlVariant = QDef(
+    "q_sql_variant",
+    (s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("""
+        SELECT event_id,
+               CAST(variant_get(parse_json(props), '$.k', 'int') AS INT) AS k_int,
+               CAST(variant_get(parse_json(props), '$.missing', 'string') AS STRING) AS missing_str
+        FROM events WHERE event_id <= 100 ORDER BY event_id""")
+    },
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+             json_extract_string(props, '$.missing') AS missing_str
+      FROM events WHERE event_id <= 100 ORDER BY event_id"""))
+
   val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
-    qSqlNestedSet, qSqlLateral, qSqlNatural, qSqlGroupAll)
+    qSqlNestedSet, qSqlLateral, qSqlNatural, qSqlGroupAll, qSqlLateralAlias,
+    qSqlVariant)
 }

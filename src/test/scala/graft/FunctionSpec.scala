@@ -144,6 +144,20 @@ class FunctionSpec extends SparkSpecBase {
     assert(cg.count(_._2 == 0) == SparkEntry.queries("q_join_anti")(spark, sf).count())
   }
 
+  test("parameterized SQL binds named and positional markers") {
+    Tables.register(spark, sf)
+    val named = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > :lo AND o_orderstatus = :st",
+      Map("lo" -> 300000.0, "st" -> "F")).head.getLong(0)
+    val positional = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > ? AND o_orderstatus = ?",
+      Array(300000.0, "F")).head.getLong(0)
+    val want = Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 300000.0 && col("o_orderstatus") === "F").count()
+    assert(named == want && positional == want,
+      s"param binding mismatch: named=$named positional=$positional want=$want")
+  }
+
   test("typed joinWith and reduceGroups match their untyped equivalents") {
     import spark.implicits._
     val orders = Tables.load(spark, sf, "orders")
