@@ -349,8 +349,28 @@ object Scalars extends QModule {
         TRY_CAST(CAST(l_quantity AS STRING) AS DOUBLE) AS q_rt
       FROM lineitem WHERE l_orderkey <= 200"""))
 
+  /** explode_outer: generator that PRESERVES rows whose array is empty
+    * (null-padded) — the difference from plain explode that silently
+    * drops them. 27 of the first 101 docs have no long words, so the
+    * outer rows are non-trivial. Oracle = inner unnest UNION ALL the
+    * empty-array rows with NULL.
+    */
+  val qFnExplodeOuter = QDef(
+    "q_fn_explode_outer",
+    (s, d) => t(s, d, "documents")
+      .filter(col("doc_id") <= 100)
+      .withColumn("arr", filter(split(col("text"), " "), w => length(w) >= 7))
+      .select(col("doc_id"), explode_outer(col("arr")).as("x")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) >= 7) AS arr
+        FROM documents WHERE doc_id <= 100)
+      SELECT doc_id, x FROM (SELECT doc_id, UNNEST(arr) AS x FROM t) u
+      UNION ALL
+      SELECT doc_id, NULL AS x FROM t WHERE len(arr) = 0"""))
+
   val defs: Seq[QDef] = Seq(
     qFnString, qFnMath, qFnDatetime, qFnCond, qFnRegex, qFnJson, qFnHash,
     qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc, qFnHof, qFnMap,
-    qFnTry)
+    qFnTry, qFnExplodeOuter)
 }

@@ -144,6 +144,27 @@ class FunctionSpec extends SparkSpecBase {
     assert(cg.count(_._2 == 0) == SparkEntry.queries("q_join_anti")(spark, sf).count())
   }
 
+  test("HLL sketches are mergeable: partial sketches union to the full estimate") {
+    // The 100-TB distinct-count story: per-partition/per-group sketches
+    // (hll_sketch_agg) merge associatively (hll_union_agg) — shuffle
+    // carries fixed-size sketch bytes, never the distinct values.
+    Tables.register(spark, sf)
+    val exact = spark.sql("SELECT COUNT(DISTINCT o_custkey) FROM orders").head.getLong(0)
+    val whole = spark.sql(
+      "SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey)) FROM orders").head.getLong(0)
+    // split the table, sketch each half, merge the sketches
+    val merged = spark.sql("""
+      SELECT hll_sketch_estimate(hll_union_agg(sk)) FROM (
+        SELECT hll_sketch_agg(o_custkey) AS sk FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT hll_sketch_agg(o_custkey) AS sk FROM orders WHERE o_orderkey % 2 = 1)""")
+      .head.getLong(0)
+    def closeTo(est: Long) = math.abs(est - exact).toDouble / exact < 0.05
+    assert(closeTo(whole), s"whole-table estimate $whole vs exact $exact")
+    assert(closeTo(merged), s"merged estimate $merged vs exact $exact")
+    assert(whole == merged, "sketch merge must be exactly associative on the same data")
+  }
+
   test("parameterized SQL binds named and positional markers") {
     Tables.register(spark, sf)
     val named = spark.sql(
