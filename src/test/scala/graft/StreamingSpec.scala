@@ -134,6 +134,32 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("illegal streaming plans are rejected up front (UnsupportedOperationChecker)") {
+    // SURVEY §7.6b: output-mode legality must fail at ANALYSIS time, not
+    // silently emit wrong results batches later.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def startIllegal(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        mode: OutputMode) = {
+      val input = MemoryStream[Event]
+      val q = build(input.toDF()).writeStream
+        .format("memory").queryName("t_illegal").outputMode(mode).start()
+      try { input.addData(batchEvents.take(5)); q.processAllAvailable() }
+      finally q.stop()
+    }
+    // un-watermarked aggregate in APPEND mode: windows can never finalize
+    intercept[Exception] {
+      startIllegal(df => df.groupBy(window(col("ts"), "1 hour")).count(), OutputMode.Append)
+    }
+    // global ORDER BY on a stream outside COMPLETE mode
+    intercept[Exception] {
+      startIllegal(df => df.orderBy(col("ts")), OutputMode.Append)
+    }
+    // plain DISTINCT-style aggregation in UPDATE is fine — sanity check the
+    // harness rejects only the illegal shapes
+    startIllegal(df => df.groupBy(col("event_type")).count(), OutputMode.Update)
+  }
+
   test("streaming dedup removes duplicate event_ids across micro-batches") {
     val es = batchEvents.take(200)
     val withDups = chunked(es, 4) :+ es.take(50) // re-feed within watermark
