@@ -210,8 +210,47 @@ object Text extends QModule {
       FROM cum"""
   val qTextPack = QDef("q_text_pack", sqlQ(packSql), Some(packSql))
 
+  /** Benchmark decontamination: which corpus documents share any 5-gram
+    * with the "benchmark" set (docs 0–19 stand in for a held-out eval
+    * suite) — the GPT-3-style n-gram overlap check. The benchmark gram
+    * set is small (broadcast side of a semi-ish join); the corpus grams
+    * partial-aggregate per doc before the count, so the shuffle carries
+    * (doc, matched-gram) pairs only for actual overlaps. At 100 TB the
+    * bench-gram table stays broadcastable (eval suites are tiny) — the
+    * corpus is never self-joined.
+    */
+  private val fiveSpark =
+    "transform(sequence(0, size(w) - 5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+  private val fiveDuck =
+    "list_transform(range(1, len(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))"
+  val qTextDecontam = QDef(
+    "q_text_decontam",
+    (s, d) => {
+      graft.Tables.register(s, d)
+      s.sql(s"""
+        WITH grams AS (
+          SELECT doc_id, explode($fiveSpark) AS g
+          FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+          WHERE size(w) >= 5),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+        corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 20)
+        SELECT doc_id, COUNT(DISTINCT c.g) AS n_shared
+        FROM corpus c JOIN bench b ON c.g = b.g
+        GROUP BY doc_id ORDER BY doc_id""")
+    },
+    Some(s"""
+      WITH grams AS (
+        SELECT doc_id, unnest($fiveDuck) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 5),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+      corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 20)
+      SELECT doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_shared
+      FROM corpus c JOIN bench b ON c.g = b.g
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val defs: Seq[QDef] = Seq(
     qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
-    qTextRepetition, qTextNgramFreq, qTextChunks, qTextPack)
+    qTextRepetition, qTextNgramFreq, qTextChunks, qTextPack, qTextDecontam)
 }
 
