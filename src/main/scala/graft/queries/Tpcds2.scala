@@ -174,6 +174,60 @@ object Tpcds2 extends QModule {
       ORDER BY sk, ym"""
   val qTpcdsQ47 = QDef("q_tpcds_q47", sqlQ(q47Sql), Some(q47Sql))
 
+  /** TPC-DS Q34 shape: count-band entities — an aggregate HAVING a
+    * BETWEEN band, joined back to the dim for display columns. The freq
+    * aggregate shrinks the join input to qualifying keys only.
+    */
+  private val q34Sql = """
+      SELECT c_custkey, c_name, cnt
+      FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY o_custkey HAVING COUNT(*) BETWEEN 5 AND 10) freq
+      JOIN customer ON c_custkey = o_custkey
+      ORDER BY c_custkey"""
+  val qTpcdsQ34 = QDef("q_tpcds_q34", sqlQ(q34Sql), Some(q34Sql))
+
+  /** TPC-DS Q59 shape: week-over-week — ONE weekly aggregate CTE
+    * self-joined at a 52-week offset, ratio of exact unit sums. The week
+    * id is computed from epoch micros so both engines bucket identically
+    * (fixture timestamps are UTC wall times; the function name differs
+    * per dialect, hence split texts).
+    */
+  private def q59Text(epochUs: String) = s"""
+      WITH weekly AS (
+        SELECT l_suppkey AS sk,
+               CAST(FLOOR(CAST($epochUs AS DOUBLE) / (7.0 * 86400 * 1e6)) AS BIGINT) AS wk,
+               ${Exact.usumSql("l_extendedprice", 2)} AS units
+        FROM lineitem GROUP BY 1, 2)
+      SELECT a.sk, a.wk AS wk1,
+             CAST(a.units AS DOUBLE) / CAST(b.units AS DOUBLE) AS yoy
+      FROM weekly a JOIN weekly b ON a.sk = b.sk AND b.wk = a.wk - 52
+      ORDER BY a.sk, wk1"""
+  val qTpcdsQ59 = QDef(
+    "q_tpcds_q59",
+    sqlQ(q59Text("unix_micros(CAST(l_shipdate AS TIMESTAMP))")),
+    Some(q59Text("epoch_us(l_shipdate)")))
+
+  /** TPC-DS Q33 shape: three filtered per-key aggregates UNION ALL'd as
+    * "channels", then re-aggregated with an all-channels HAVING — the
+    * union-of-aggregates planner path (each branch keeps its own
+    * partial→final pipeline before the final shuffle on k).
+    */
+  private val q33Sql = s"""
+      WITH x AS (
+        SELECT 'urgent' AS channel, o_custkey AS k, ${Exact.usumSql("o_totalprice", 2)} AS units
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+        UNION ALL
+        SELECT 'open' AS channel, o_custkey AS k, ${Exact.usumSql("o_totalprice", 2)} AS units
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+        UNION ALL
+        SELECT 'big' AS channel, o_custkey AS k, ${Exact.usumSql("o_totalprice", 2)} AS units
+        FROM orders WHERE o_totalprice > 200000.0 GROUP BY o_custkey)
+      SELECT k, COUNT(*) AS n_channels, CAST(SUM(units) AS BIGINT) AS total_units
+      FROM x GROUP BY k HAVING COUNT(*) = 3 ORDER BY k"""
+  val qTpcdsQ33 = QDef("q_tpcds_q33", sqlQ(q33Sql), Some(q33Sql))
+
   val defs: Seq[QDef] = Seq(qTpcdsQ88, qTpcdsQ38, qTpcdsQ51, qTpcdsQ97,
-    qTpcdsQ74, qTpcdsQ23, qTpcdsQ93, qTpcdsQ47)
+    qTpcdsQ74, qTpcdsQ23, qTpcdsQ93, qTpcdsQ47, qTpcdsQ34, qTpcdsQ59,
+    qTpcdsQ33)
 }
