@@ -92,13 +92,26 @@ object Text extends QModule {
     * (Spark `aggregate`), which DuckDB SQL can't express positionally, so
     * it's rows-only for the driver; the ScalaTest spec pins exact values.
     */
+  /** Ordered polynomial rolling hash over the word sequence. DuckDB 1.0's
+    * list_reduce folds left using the FIRST element as the accumulator, so
+    * the oracle prepends the 0 seed and pre-maps each word to its
+    * contribution — the recurrence (acc*31 + c) % M is then identical.
+    * (rows-only until round 4; upgraded once the fold proved expressible.)
+    */
   val qTextRollhash = QDef(
     "q_text_rollhash",
     (s, d) => t(s, d, "documents").selectExpr(
       "doc_id",
       "aggregate(split(text, ' '), 0L, (acc, x) -> " +
         "(acc * 31 + length(x) * 7 + ascii(substring(x, 1, 1))) % 1000000007) AS rh"),
-    None)
+    Some("""
+      SELECT doc_id,
+        CAST(list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ' '),
+              x -> CAST(length(x) * 7 + ascii(substring(x, 1, 1)) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) AS BIGINT) AS rh
+      FROM documents"""))
 
   /** Duplicate-trigram repetition ratio — the Gopher/C4-style quality
     * filter ("fraction of repeated n-grams") as a pure per-row projection:
