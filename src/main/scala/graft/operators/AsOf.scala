@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,19 +8,65 @@ import org.apache.spark.sql.functions._
   * surface lacks as a first-class node (SURVEY.md §2.3 "Not present");
   * composed from built-ins per the preference order (compose > custom
   * plan): tag both sides, union, one window pass per key carrying the
-  * last-seen right value forward, keep left rows.
+  * last-seen right (ts, value) pair forward, keep left rows.
   *
   * Scale: a single hash-partitioned shuffle on `key` plus a per-partition
   * sort — the same cost as one sort-merge join, with no per-row probe or
-  * range explosion. Skewed keys can be salted upstream; state is one row
-  * (`last`) per group during the window scan, so it streams.
+  * range explosion. Skewed keys can be salted upstream; state during the
+  * window scan is one carried struct per group, so it streams.
   */
 object AsOf {
+
+  /** Shared core: union + one window pass, carrying the latest prior
+    * right row's (ts, value) ATOMICALLY as one struct (so a staleness
+    * check always tests the timestamp of the row that supplied the
+    * value). `toleranceUs = None` keeps every match.
+    */
+  private def joinCore(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightVal: String,
+      out: String,
+      toleranceUs: Option[Long]): DataFrame = {
+    val leftCols = left.columns
+    val l2 = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(rightVal).dataType))
+    val r2 = right.select(
+      col(key), col(rightTs).as("__t"), lit(0).as("__side"), col(rightVal).as("__v"))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Staleness in the ts column's own units: micros for timestamps,
+    // raw difference for numeric time columns.
+    def units(c: Column) =
+      left.schema(leftTs).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val matched = u.withColumn("__pair",
+        last(when(col("__side") === 0, struct(col("__t").as("t"), col("__v").as("v"))),
+          ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val value = toleranceUs match {
+      case Some(tol) =>
+        when(units(col("__t")) - units(col("__pair.t")) <= tol, col("__pair.v"))
+      case None => col("__pair.v")
+    }
+    matched.withColumn(out, value)
+      .select(leftCols.map(col) :+ col(out): _*)
+  }
 
   /** For every row of `left`, attach the most recent `rightVal` from
     * `right` with the same `key` and `right.ts <= left.ts` (inclusive:
     * at equal timestamps the right row wins because side 0 sorts first).
-    * Output = all `left` columns + `out` (null when no prior right row).
+    * Output = all `left` columns + `out` (null when no prior right row,
+    * or when the latest prior row carries a null value).
     *
     * Ties: when several right rows share (key, ts), the one with the
     * GREATEST `rightVal` wins — `__v` is the final sort key, so the
@@ -34,29 +80,13 @@ object AsOf {
       leftTs: String,
       rightTs: String,
       rightVal: String,
-      out: String): DataFrame = {
-    val leftCols = left.columns
-    val valType = right.schema(rightVal).dataType
-    val l2 = left
-      .withColumn("__t", col(leftTs))
-      .withColumn("__side", lit(1))
-      .withColumn("__v", lit(null).cast(valType))
-    val r2 = right.select(
-      col(key), col(rightTs).as("__t"), lit(0).as("__side"), col(rightVal).as("__v"))
-    val u = l2.unionByName(r2, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn(out, last(col("__v"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(leftCols.map(col) :+ col(out): _*)
-  }
+      out: String): DataFrame =
+    joinCore(left, right, key, leftTs, rightTs, rightVal, out, None)
 
-  /** [[joinLast]] with a staleness bound (pandas merge_asof `tolerance`):
-    * the matched right value is nulled when it is more than `toleranceUs`
-    * microseconds older than the left timestamp. The matched (ts, value)
-    * pair is carried ATOMICALLY as one struct through the window, so the
-    * staleness check always tests the timestamp of the row that supplied
-    * the value. Same single-shuffle plan as [[joinLast]].
+  /** [[joinLast]] with a staleness bound (pandas merge_asof `tolerance`,
+    * INCLUSIVE like pandas): the matched right value is nulled when it is
+    * more than `toleranceUs` microseconds older than the left timestamp —
+    * a match exactly `toleranceUs` old is kept. Same single-shuffle plan.
     */
   def joinLastWithin(
       left: DataFrame,
@@ -66,32 +96,6 @@ object AsOf {
       rightTs: String,
       rightVal: String,
       out: String,
-      toleranceUs: Long): DataFrame = {
-    val leftCols = left.columns
-    val l2 = left
-      .withColumn("__t", col(leftTs))
-      .withColumn("__side", lit(1))
-      .withColumn("__v", lit(null).cast(right.schema(rightVal).dataType))
-    val r2 = right.select(
-      col(key), col(rightTs).as("__t"), lit(0).as("__side"), col(rightVal).as("__v"))
-    val u = l2.unionByName(r2, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Staleness in the ts column's own units: micros for timestamps,
-    // raw difference for numeric time columns.
-    def units(c: org.apache.spark.sql.Column) =
-      left.schema(leftTs).dataType match {
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
-        case _ => c.cast("long")
-      }
-    u.withColumn("__pair",
-        last(when(col("__side") === 0, struct(col("__t").as("t"), col("__v").as("v"))),
-          ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .withColumn(out,
-        when(units(col("__t")) - units(col("__pair.t")) <= toleranceUs,
-          col("__pair.v")))
-      .select(leftCols.map(col) :+ col(out): _*)
-  }
+      toleranceUs: Long): DataFrame =
+    joinCore(left, right, key, leftTs, rightTs, rightVal, out, Some(toleranceUs))
 }

@@ -128,9 +128,10 @@ object Extra extends QModule {
       WHERE id % 2 = 0 ORDER BY id"""))
 
   /** DataFrameNaFunctions surface: null-producing LEFT join, then
-    * na.fill for the value column, na.drop bounded to a column subset,
-    * and na.replace mapping a sentinel — aggregated so the oracle is a
-    * COALESCE/CASE mirror over the same join.
+    * na.fill for the value column and na.replace mapping a sentinel —
+    * aggregated so the oracle is a COALESCE/CASE mirror over the same
+    * join. (na.drop is covered by the OperatorSpec assertion that
+    * dropping on the join's value column equals the inner join.)
     */
   val qFnNa = QDef(
     "q_fn_na",

@@ -188,7 +188,7 @@ object Joins extends QModule {
       SELECT p.event_id,
              (SELECT epoch_us(MAX(c.ts)) FROM events c
               WHERE c.event_type = 'click' AND c.user_id = p.user_id
-                AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR) AS last_click_us
+                AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR) AS last_click_us
       FROM events p WHERE p.event_type = 'purchase'"""))
 
   /** Range (interval) join via bucketed equi-join: candidates meet on

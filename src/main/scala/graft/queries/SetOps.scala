@@ -106,10 +106,11 @@ object SetOps extends QModule {
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10"""))
 
   /** unionByName(allowMissingColumns): schema-flexible union — columns
-    * matched by NAME (not position), absent columns null-filled. DuckDB
-    * mirrors with UNION ALL BY NAME. The Spark side deliberately orders
-    * the two select lists differently to prove positional union would be
-    * wrong.
+    * matched by NAME (not position), and a column PRESENT ON ONE SIDE
+    * ONLY (`tier`, customer side) null-filled on the other. The Spark
+    * side deliberately orders the two select lists differently to prove
+    * positional union would be wrong; DuckDB mirrors both behaviors with
+    * UNION ALL BY NAME.
     */
   val qSetUnionByName = QDef(
     "q_set_unionbyname",
@@ -117,16 +118,18 @@ object SetOps extends QModule {
       val o = t(s, d, "orders").filter(col("o_orderkey") <= 100)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"), lit("ord").as("src"))
       val c = t(s, d, "customer").filter(col("c_custkey") <= 100)
-        .select(lit("cust").as("src"), col("c_custkey").as("k"), col("c_acctbal").as("v"))
-      o.unionByName(c.withColumn("extra", lit(1)).drop("extra"), allowMissingColumns = true)
-        .select(col("k"), col("v").cast("double").as("v"), col("src"))
+        .select(lit("cust").as("src"), col("c_custkey").as("k"), col("c_acctbal").as("v"),
+          (col("c_custkey") % 3).cast("int").as("tier"))
+      o.unionByName(c, allowMissingColumns = true)
+        .select(col("k"), col("v").cast("double").as("v"), col("src"), col("tier"))
     },
     Some("""
-      SELECT k, CAST(v AS DOUBLE) AS v, src FROM (
+      SELECT k, CAST(v AS DOUBLE) AS v, src, CAST(tier AS INT) AS tier FROM (
         SELECT o_orderkey AS k, o_totalprice AS v, 'ord' AS src
         FROM orders WHERE o_orderkey <= 100
         UNION ALL BY NAME
-        SELECT 'cust' AS src, c_custkey AS k, c_acctbal AS v
+        SELECT 'cust' AS src, c_custkey AS k, c_acctbal AS v,
+               CAST(c_custkey % 3 AS INT) AS tier
         FROM customer WHERE c_custkey <= 100) u"""))
 
   /** CSV and JSON write→read round-trips as ORACLE-CHECKED queries (not
@@ -134,11 +137,13 @@ object SetOps extends QModule {
     * explicit schema, and aggregated; the oracle aggregates the original
     * parquet directly — equality proves the round-trip is lossless
     * (Java's shortest-round-trip double formatting re-parses to the
-    * identical bits). The write is a per-query temp dir, coalesced small.
+    * identical bits). The write goes to a per-PROCESS temp dir (pid
+    * suffix): re-runs within one JVM reuse it via overwrite, while two
+    * concurrent JVMs (Verify + a test run) cannot race each other's
+    * overwrite against an in-flight read.
     */
   private def roundTrip(fmt: String): QFn = (s, d) => {
-    // fixed path + overwrite: repeated Verify runs reuse one directory
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rt-$fmt"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rt-$fmt-${ProcessHandle.current().pid()}"
     val src = t(s, d, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     src.coalesce(2).write.mode("overwrite")

@@ -187,7 +187,11 @@ object Text extends QModule {
                CAST(length(substring(text, chunk_id * 150 + 1, 200)) AS INT) AS chunk_len
         FROM (SELECT doc_id, text,
                      explode(sequence(0, CAST(CEIL(n_chars / 150.0) AS INT) - 1)) AS chunk_id
-              FROM documents) x""")
+              FROM documents
+              WHERE n_chars > 0) x""")
+        // WHERE n_chars > 0: an empty doc would make the sequence bound -1
+        // and Spark's sequence(0, -1) DESCENDS; the oracle's half-open
+        // range(0, 0) is empty, so both sides must skip empty docs.
     },
     Some("""
       SELECT doc_id, CAST(g AS INT) AS chunk_id,

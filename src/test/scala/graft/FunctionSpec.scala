@@ -162,7 +162,9 @@ class FunctionSpec extends SparkSpecBase {
     def closeTo(est: Long) = math.abs(est - exact).toDouble / exact < 0.05
     assert(closeTo(whole), s"whole-table estimate $whole vs exact $exact")
     assert(closeTo(merged), s"merged estimate $merged vs exact $exact")
-    assert(whole == merged, "sketch merge must be exactly associative on the same data")
+    // NOTE: no whole == merged assertion — once sketches leave exact
+    // coupon mode, a direct sketch estimates via HIP while a union result
+    // uses the composite estimator; both are in-band but not bit-equal.
   }
 
   test("parameterized SQL binds named and positional markers") {

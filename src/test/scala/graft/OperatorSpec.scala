@@ -414,6 +414,17 @@ class OperatorSpec extends SparkSpecBase {
         s"$n degraded to a non-equi join:\n$s")
   }
 
+  test("na.drop on the outer join's null column equals the inner join") {
+    val c = Tables.load(spark, sf, "customer")
+    val o = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+    val outer = c.join(o, c("c_custkey") === o("o_custkey"), "left")
+    val dropped = outer.na.drop("any", Seq("o_totalprice")).count()
+    val inner = c.join(o, c("c_custkey") === o("o_custkey")).count()
+    assert(dropped == inner, s"na.drop kept $dropped vs inner join $inner")
+    assert(outer.count() > inner, "the outer join must actually produce null rows")
+  }
+
   test("ANSI posture: errors raise loudly, try_* and the Exact guard behave as documented") {
     import spark.implicits._
     // integral division by zero is an ERROR, not a silent null
