@@ -345,9 +345,32 @@ object Agg extends QModule {
   val qAggRollupDistinct = QDef(
     "q_agg_rollupdistinct", sqlQ(rollupDistinctSql), Some(rollupDistinctSql))
 
+  /** Exact mergeable distinct counting via bitmaps (Spark 3.5 bitmap_*):
+    * keys bucket into 32k-bit bitmaps (bitmap_bucket_number /
+    * bitmap_bit_position), per-bucket bitmaps OR-combine associatively
+    * (bitmap_construct_agg), and the distinct count is the SUM of
+    * per-bucket popcounts. At 100 TB this is the EXACT alternative to
+    * HLL with the same two-level map-side-combinable shape — no Expand,
+    * unlike COUNT(DISTINCT). Oracle = the plain exact distinct count.
+    */
+  val qAggBitmap = QDef(
+    "q_agg_bitmap",
+    (s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("""
+        SELECT o_orderstatus, CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_cust
+        FROM (SELECT o_orderstatus, bitmap_bucket_number(o_custkey) AS bn,
+                     bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+              FROM orders GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey)) x
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
     qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
     qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter, qAggPctWithin,
-    qAggRollupDistinct)
+    qAggRollupDistinct, qAggBitmap)
 }

@@ -369,8 +369,32 @@ object Scalars extends QModule {
       UNION ALL
       SELECT doc_id, NULL AS x FROM t WHERE len(arr) = 0"""))
 
+  /** Array SET operations (union/intersect/except) over two overlapping
+    * word slices. Spark's variants de-duplicate; results are sorted on
+    * both engines so element ORDER (which the engines define differently)
+    * never enters the compare — only set equality does.
+    */
+  val qFnArraySet = QDef(
+    "q_fn_arrayset",
+    (s, d) => t(s, d, "documents")
+      .filter(col("doc_id") <= 50)
+      .selectExpr(
+        "doc_id",
+        "array_join(array_sort(array_union(slice(split(text, ' '), 1, 8), slice(split(text, ' '), 5, 8))), ',') AS u",
+        "array_join(array_sort(array_intersect(slice(split(text, ' '), 1, 8), slice(split(text, ' '), 5, 8))), ',') AS i",
+        "array_join(array_sort(array_except(slice(split(text, ' '), 1, 8), slice(split(text, ' '), 5, 8))), ',') AS e"),
+    Some("""
+      SELECT doc_id,
+        array_to_string(list_sort(list_distinct(list_cat(a, b))), ',') AS u,
+        array_to_string(list_sort(list_distinct(list_intersect(a, b))), ',') AS i,
+        array_to_string(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))), ',') AS e
+      FROM (SELECT doc_id,
+              string_split(text, ' ')[1:8] AS a,
+              string_split(text, ' ')[5:12] AS b
+            FROM documents WHERE doc_id <= 50) t"""))
+
   val defs: Seq[QDef] = Seq(
     qFnString, qFnMath, qFnDatetime, qFnCond, qFnRegex, qFnJson, qFnHash,
     qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc, qFnHof, qFnMap,
-    qFnTry, qFnExplodeOuter)
+    qFnTry, qFnExplodeOuter, qFnArraySet)
 }
