@@ -393,8 +393,56 @@ object Scalars extends QModule {
               string_split(text, ' ')[5:12] AS b
             FROM documents WHERE doc_id <= 50) t"""))
 
+  /** inline over zip_with: the struct-generator path — two unequal-length
+    * slices zipped (shorter side null-padded), one output ROW per struct.
+    * Oracle iterates positions with out-of-range indexing → NULL, the
+    * same padding rule.
+    */
+  val qFnInline = QDef(
+    "q_fn_inline",
+    (s, d) => t(s, d, "documents")
+      .filter(col("doc_id") <= 30)
+      .selectExpr(
+        "doc_id",
+        "inline(zip_with(slice(split(text, ' '), 1, 6), slice(split(text, ' '), 4, 8), (x, y) -> named_struct('w1', x, 'w2', y)))"),
+    Some("""
+      SELECT doc_id, a[CAST(i AS INT)] AS w1, b[CAST(i AS INT)] AS w2
+      FROM (SELECT doc_id,
+              string_split(text, ' ')[1:6] AS a,
+              string_split(text, ' ')[4:11] AS b
+            FROM documents WHERE doc_id <= 30) t,
+        UNNEST(range(1, greatest(len(a), len(b)) + 1)) AS g(i)"""))
+
+  /** Calendar date spine: generate the full month series, LEFT JOIN the
+    * fact's monthly counts so ZERO-activity months stay visible — the
+    * gap-free reporting idiom (a bare GROUP BY silently drops empty
+    * periods). The spine is generated, not scanned: zero I/O at any data
+    * scale.
+    */
+  val qFnDateSpine = QDef(
+    "q_fn_datespine",
+    (s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("""
+        WITH spine AS (
+          SELECT explode(sequence(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH)) AS mo),
+        m AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS n
+          FROM orders GROUP BY 1)
+        SELECT spine.mo, COALESCE(n, 0) AS n_orders
+        FROM spine LEFT JOIN m ON spine.mo = m.mo ORDER BY spine.mo""")
+    },
+    Some("""
+      WITH spine AS (
+        SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH)) AS DATE) AS mo),
+      m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT spine.mo, COALESCE(n, 0) AS n_orders
+      FROM spine LEFT JOIN m ON spine.mo = m.mo ORDER BY spine.mo"""))
+
   val defs: Seq[QDef] = Seq(
     qFnString, qFnMath, qFnDatetime, qFnCond, qFnRegex, qFnJson, qFnHash,
     qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc, qFnHof, qFnMap,
-    qFnTry, qFnExplodeOuter, qFnArraySet)
+    qFnTry, qFnExplodeOuter, qFnArraySet, qFnInline, qFnDateSpine)
 }
