@@ -355,15 +355,12 @@ object Agg extends QModule {
     */
   val qAggBitmap = QDef(
     "q_agg_bitmap",
-    (s, d) => {
-      graft.Tables.register(s, d)
-      s.sql("""
-        SELECT o_orderstatus, CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_cust
-        FROM (SELECT o_orderstatus, bitmap_bucket_number(o_custkey) AS bn,
-                     bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
-              FROM orders GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey)) x
-        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
-    },
+    sqlQ("""
+      SELECT o_orderstatus, CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_cust
+      FROM (SELECT o_orderstatus,
+                   bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+            FROM orders GROUP BY o_orderstatus, bitmap_bucket_number(o_custkey)) x
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     Some("""
       SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))

@@ -386,7 +386,7 @@ object Scalars extends QModule {
     Some("""
       SELECT doc_id,
         array_to_string(list_sort(list_distinct(list_cat(a, b))), ',') AS u,
-        array_to_string(list_sort(list_distinct(list_intersect(a, b))), ',') AS i,
+        array_to_string(list_sort(list_intersect(a, b)), ',') AS i,
         array_to_string(list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))), ',') AS e
       FROM (SELECT doc_id,
               string_split(text, ' ')[1:8] AS a,
@@ -417,24 +417,23 @@ object Scalars extends QModule {
     * fact's monthly counts so ZERO-activity months stay visible — the
     * gap-free reporting idiom (a bare GROUP BY silently drops empty
     * periods). The spine is generated, not scanned: zero I/O at any data
-    * scale.
+    * scale. Bounds deliberately OVERHANG the fixture's 1995-01..2001-11
+    * date range on both ends, so the zero-fill path is always exercised
+    * and a drifted fixture cannot silently fall outside the spine.
     */
   val qFnDateSpine = QDef(
     "q_fn_datespine",
-    (s, d) => {
-      graft.Tables.register(s, d)
-      s.sql("""
-        WITH spine AS (
-          SELECT explode(sequence(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH)) AS mo),
-        m AS (
-          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS n
-          FROM orders GROUP BY 1)
-        SELECT spine.mo, COALESCE(n, 0) AS n_orders
-        FROM spine LEFT JOIN m ON spine.mo = m.mo ORDER BY spine.mo""")
-    },
+    sqlQ("""
+      WITH spine AS (
+        SELECT explode(sequence(DATE '1994-07-01', DATE '2002-06-01', INTERVAL 1 MONTH)) AS mo),
+      m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS n
+        FROM orders GROUP BY 1)
+      SELECT spine.mo, COALESCE(n, 0) AS n_orders
+      FROM spine LEFT JOIN m ON spine.mo = m.mo ORDER BY spine.mo"""),
     Some("""
       WITH spine AS (
-        SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '2001-12-01', INTERVAL 1 MONTH)) AS DATE) AS mo),
+        SELECT CAST(UNNEST(generate_series(DATE '1994-07-01', DATE '2002-06-01', INTERVAL 1 MONTH)) AS DATE) AS mo),
       m AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo, COUNT(*) AS n
         FROM orders GROUP BY 1)
