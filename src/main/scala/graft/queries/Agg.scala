@@ -365,9 +365,32 @@ object Agg extends QModule {
       SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
 
+  /** Multi-aggregate pivot: `.pivot(col, values).agg(n, sum)` widens to
+    * value×aggregate suffixed columns in ONE pass over the fact (the
+    * conditional-aggregation plan — no per-value re-scan). Values are
+    * pinned so the schema is static; the exact sum rides through pivot as
+    * the same BIGINT-units pattern.
+    */
+  val qAggPivotMulti = QDef(
+    "q_agg_pivotmulti",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice"), 2).as("total"))
+      .select(col("o_orderpriority"),
+        col("F_n").as("f_n"), col("F_total").as("f_total"),
+        col("O_n").as("o_n"), col("O_total").as("o_total")),
+    Some(s"""
+      SELECT o_orderpriority,
+        COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+        (CAST(${Exact.usumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", 2)} AS DOUBLE) / 1e2) AS f_total,
+        COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+        (CAST(${Exact.usumSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", 2)} AS DOUBLE) / 1e2) AS o_total
+      FROM orders GROUP BY o_orderpriority"""))
+
   val defs: Seq[QDef] = Seq(
     qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
     qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
     qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter, qAggPctWithin,
-    qAggRollupDistinct, qAggBitmap)
+    qAggRollupDistinct, qAggBitmap, qAggPivotMulti)
 }
