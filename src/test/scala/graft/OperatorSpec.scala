@@ -92,13 +92,23 @@ class OperatorSpec extends SparkSpecBase {
   }
 
   test("minhash candidates superset of exact duplicate pairs") {
-    // identical texts must always share all bands
-    val dup = SparkEntry.queries("q_dedup_minhash")(spark, sf)
-    val exact = SparkEntry.queries("q_dedup_exact")(spark, sf)
-      .filter(col("copies") > 1)
-    // at sf0.001 there may be no exact dups; the invariant is vacuous then
-    assert(dup.columns.toSeq == Seq("a_id", "b_id"))
-    assert(exact.count() >= 0)
+    // Identical texts share ALL minhash bands, so every exact-duplicate
+    // pair MUST appear among the LSH candidate pairs — assert the actual
+    // superset, built from the duplicate text groups.
+    val cand = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = Tables.load(spark, sf, "documents")
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .selectExpr("explode(flatten(transform(ids, a -> " +
+        "transform(filter(ids, b -> b > a), b -> struct(a AS a_id, b AS b_id))))) AS p")
+      .select("p.a_id", "p.b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exactPairs -- cand).isEmpty,
+      s"exact dup pairs missed by minhash: ${(exactPairs -- cand).take(5)}")
+    // guard against vacuity: this fixture is known to contain exact dups
+    if (sf.endsWith("sf0.001")) assert(cand.nonEmpty || exactPairs.isEmpty)
   }
 
   test("LSH-bucketed ANN reaches reasonable recall vs brute force") {

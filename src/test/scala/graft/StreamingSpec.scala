@@ -87,12 +87,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  // Compact synthetic timeline for dedup-state tests: the fixture's first
+  // 120 events span DAYS, so with a 10-minute watermark any re-delivery
+  // would be discarded as LATE DATA before dedup state is even consulted —
+  // masking the mechanism under test. One event per second keeps every
+  // re-delivery inside the watermark horizon.
+  private def synthEvents(n: Int): Seq[Event] = {
+    val t0 = 1700000000000L
+    (0 until n).map(i => Event(i.toLong, new Timestamp(t0 + i * 1000L),
+      (i % 7).toLong, if (i % 3 == 0) "purchase" else "click", i * 1.0))
+  }
+
   test("dropDuplicatesWithinWatermark dedups re-deliveries with drifted timestamps") {
     // The 4.x watermark-relative dedup variant: unlike dropDuplicates on
     // (id, ts), a re-delivery whose TIMESTAMP moved (retry after delay —
     // the at-least-once-source reality) still dedups, because state is
-    // keyed on id alone and retained one watermark interval.
-    val es = batchEvents.take(120)
+    // keyed on id alone and retained one watermark interval. The 120
+    // events span 2 minutes, so the +1s drifted batch is comfortably
+    // within the 10-minute horizon — a plain (id, ts) dedup WOULD emit
+    // the 30 drifted rows and fail this count.
+    val es = synthEvents(120)
     val drifted = es.take(30).map(e =>
       e.copy(ts = new Timestamp(e.ts.getTime + 1000))) // same ids, moved ts
     val got = runStream("t_dedup_wm", OutputMode.Append,
@@ -161,7 +175,12 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("streaming dedup removes duplicate event_ids across micro-batches") {
-    val es = batchEvents.take(200)
+    // Synthetic compact timeline (200 events over ~3.3 min): the re-fed
+    // batch is genuinely WITHIN the 10-minute watermark, so the emitted
+    // rows can only be deduped by dropDuplicates STATE — not by the
+    // late-data filter (which is what the fixture's multi-day span would
+    // have exercised instead).
+    val es = synthEvents(200)
     val withDups = chunked(es, 4) :+ es.take(50) // re-feed within watermark
     val got = runStream("t_dedup", OutputMode.Append,
       df => Streams.dedupStream(df), withDups)
@@ -309,6 +328,15 @@ class StreamingSpec extends SparkSpecBase {
     val q2 = start(); q2.processAllAvailable(); q2.stop()
     assert(afterFirst == 120, s"first run processed $afterFirst")
     assert(total.get() == 200, s"reprocessing detected: ${total.get()} rows total")
+    // Stronger than row counts: the processed id SET must equal the input
+    // id set — a restart that reprocessed committed rows while skipping an
+    // equal number of new ones keeps total==200 but breaks this.
+    import scala.jdk.CollectionConverters._
+    val inputIds = spark.read.schema(schema).json(inDir)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(total.get() == inputIds.length)
+    assert(seen.asScala.toSet == inputIds.toSet,
+      s"processed ids diverge from input ids by ${(seen.asScala.toSet -- inputIds.toSet).size} extra / ${(inputIds.toSet -- seen.asScala.toSet).size} missing")
   }
 
   test("chained stateful operators: streaming dedup feeding windowed aggregation") {
