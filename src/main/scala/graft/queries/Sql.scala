@@ -122,7 +122,23 @@ object Sql extends QModule {
              json_extract_string(props, '$.missing') AS missing_str
       FROM events WHERE event_id <= 100 ORDER BY event_id"""))
 
+  /** WITH RECURSIVE (landed in Spark 4.0): hierarchy traversal carrying
+    * depth and a materialized path. Each recursion step is one self-join
+    * against the previous frontier — bounded by tree depth, never by row
+    * count, so the plan is iteration-of-joins (the UnionLoop machinery),
+    * not a driver loop. Same text runs on DuckDB.
+    */
+  private val recursiveSql = """
+      WITH RECURSIVE tree(id, depth, path) AS (
+        SELECT 0, 0, CAST('0' AS STRING)
+        UNION ALL
+        SELECT c.id, t.depth + 1, CONCAT(t.path, '/', CAST(c.id AS STRING))
+        FROM (VALUES (1, 0), (2, 0), (3, 1), (4, 1), (5, 2), (6, 3), (7, 5)) AS c(id, parent)
+        JOIN tree t ON c.parent = t.id)
+      SELECT id, depth, path FROM tree ORDER BY id"""
+  val qSqlRecursive = QDef("q_sql_recursive", sqlQ(recursiveSql), Some(recursiveSql))
+
   val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
     qSqlNestedSet, qSqlLateral, qSqlNatural, qSqlGroupAll, qSqlLateralAlias,
-    qSqlVariant)
+    qSqlVariant, qSqlRecursive)
 }
