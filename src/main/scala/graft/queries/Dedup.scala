@@ -243,6 +243,42 @@ object Dedup extends QModule {
     Some(simhashSql("duck")),
     bench = true)
 
+  /** Duplicate CLUSTERING: the verified near-dup pairs (q_dedup_jaccard)
+    * collapsed into connected components — each doc labeled with the min
+    * doc_id of its cluster (the canonical keeper). Spark side is the
+    * iterative min-label propagation in [[graft.operators.Components]]
+    * (Spark 4's recursive CTE only supports UNION ALL, which cannot
+    * terminate on cyclic reachability); the oracle IS the recursive
+    * transitive closure, which DuckDB's UNION-dedup recursion can run.
+    */
+  val qDedupCluster = QDef(
+    "q_dedup_cluster",
+    (s, d) => graft.operators.Components
+      .labelPropagate(qDedupJaccard.fn(s, d).select("a_id", "b_id"), "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("label").as("rep")),
+    Some(s"""
+      WITH RECURSIVE $shinglesSqlDuck, $minhashSqlDuck, $bandsSqlDuck, $candSqlDuck,
+      sdist AS (SELECT DISTINCT doc_id, s FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS nsh FROM sdist GROUP BY doc_id),
+      inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+                FROM cand c
+                JOIN sdist sa ON sa.doc_id = c.a_id
+                JOIN sdist sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+                GROUP BY c.a_id, c.b_id),
+      jac AS (SELECT i.a_id, i.b_id
+              FROM inter i JOIN sz za ON za.doc_id = i.a_id
+                           JOIN sz zb ON zb.doc_id = i.b_id
+              WHERE i.inter / (za.nsh + zb.nsh - i.inter) >= 0.5),
+      e AS (SELECT a_id AS a, b_id AS b FROM jac
+            UNION SELECT b_id AS a, a_id AS b FROM jac),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep
+      FROM reach GROUP BY a"""))
+
   val defs: Seq[QDef] = Seq(
-    qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash)
+    qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash,
+    qDedupCluster)
 }

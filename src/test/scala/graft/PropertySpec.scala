@@ -127,6 +127,33 @@ class PropertySpec extends SparkSpecBase {
     }, cases = 8)
   }
 
+  test("Components.labelPropagate equals brute-force union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = for {
+      x <- Gen.choose(0L, 12L); y <- Gen.choose(0L, 12L) if x != y
+    } yield (x, y)
+    val gen = Gen.nonEmptyListOf(edgeGen)
+    check("components", Prop.forAll(gen) { edges =>
+      val got = operators.Components
+        .labelPropagate(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: iterate min-neighbor closure on the driver to fixpoint
+      val sym = (edges ++ edges.map(_.swap)).toSet
+      val nodes = sym.flatMap(e => Set(e._1, e._2))
+      var lbl = nodes.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        val next = nodes.map { n =>
+          val nbrs = sym.collect { case (`n`, m) => lbl(m) }
+          n -> (nbrs + lbl(n)).min
+        }.toMap
+        changed = next != lbl
+        lbl = next
+      }
+      got == lbl
+    }, cases = 6)
+  }
+
   test("Salt.saltedSumCount equals the unsalted aggregation for any bucket count") {
     import spark.implicits._
     val rowGen = for {
