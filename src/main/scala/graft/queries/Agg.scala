@@ -248,9 +248,12 @@ object Agg extends QModule {
       FROM lineitem GROUP BY l_returnflag"""))
 
   /** Sketch aggregates (HLL++, approx percentile — SURVEY §2.4). DuckDB's
-    * approximations use different algorithms, so no value oracle exists;
-    * the driver records a rows-only check and the ScalaTest spec bounds the
-    * error vs exact counts.
+    * approximations use different algorithms, so the raw estimates have no
+    * cross-engine oracle; instead BOTH sides emit the sketch CONTRACT as
+    * booleans — each engine's own approximation within tolerance of the
+    * exact answer computed in the same query (HLL within ±10% of the exact
+    * distinct count; approx median inside the exact p40..p60 band) — plus
+    * the exactly-comparable distinct count itself.
     */
   val qAggApprox = QDef(
     "q_agg_approx",
@@ -258,9 +261,27 @@ object Agg extends QModule {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("apx_parts"),
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("apx_p50")),
-    None)
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("apx"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+          expr("percentile(l_quantity, 0.4)").as("p40"),
+          expr("percentile(l_quantity, 0.6)").as("p60"))
+        .select(
+          col("l_returnflag"),
+          col("exact_parts"),
+          (col("apx") >= col("exact_parts") * 0.9 &&
+            col("apx") <= col("exact_parts") * 1.1).as("apx_ok"),
+          (col("ap50") >= col("p40") && col("ap50") <= col("p60")).as("p50_ok")),
+    Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        approx_count_distinct(l_partkey)
+          BETWEEN 0.9 * COUNT(DISTINCT l_partkey)
+              AND 1.1 * COUNT(DISTINCT l_partkey) AS apx_ok,
+        approx_quantile(l_quantity, 0.5)
+          BETWEEN quantile_cont(l_quantity, 0.4)
+              AND quantile_cont(l_quantity, 0.6) AS p50_ok
+      FROM lineitem GROUP BY l_returnflag"""))
 
   /** Unpivot (melt) — the inverse of pivot: wide per-nation metrics back to
     * (id, metric, val) long form via the typed `Dataset.unpivot` API. A pure

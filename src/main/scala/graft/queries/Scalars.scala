@@ -202,23 +202,54 @@ object Scalars extends QModule {
       FROM part"""))
 
   /** Registry names with no DuckDB counterpart (initcap, soundex,
-    * format_number, parse_url, str_to_map, sentences, crc32, xxhash64,
-    * to_json): declared here rows-only; exact values pinned in
-    * FunctionSpec.
+    * format_number, parse_url, str_to_map, crc32, xxhash64, to_json).
+    * DuckDB cannot recompute them, so the query runs them over a FIXED
+    * VALUES relation (edge rows: negative/zero numbers, missing and empty
+    * URL params, absent map keys) and the oracle is the pinned expected
+    * output — the same pins FunctionSpec asserts, promoted to the driver
+    * gate so the surface is hash-checked instead of rows-only.
     */
   val qFnMisc = QDef(
     "q_fn_misc",
-    (s, d) => t(s, d, "part").selectExpr(
-      "p_partkey",
-      "initcap(p_type) AS ic",
-      "soundex(split_part(p_name, ' ', 1)) AS sx",
-      "format_number(p_retailprice, 2) AS fmtn",
-      "parse_url(concat('http://example.com/x?brand=', p_brand), 'QUERY', 'brand') AS purl",
-      "str_to_map(concat('a:1,b:', p_size), ',', ':')['b'] AS m_b",
-      "crc32(encode(p_brand, 'UTF-8')) AS crc",
-      "xxhash64(p_brand) AS xx",
-      "to_json(named_struct('brand', p_brand, 'size', p_size)) AS js"),
-    None)
+    sqlQ("""
+      SELECT id,
+        initcap(s) AS ic,
+        soundex(w) AS sx,
+        format_number(x, 2) AS fmtn,
+        parse_url(u, 'QUERY', 'brand') AS purl,
+        str_to_map(m, ',', ':')['b'] AS m_b,
+        crc32(encode(w, 'UTF-8')) AS crc,
+        xxhash64(w) AS xx,
+        to_json(named_struct('w', w, 'n', id)) AS js
+      FROM VALUES
+        (1, 'economy brushed steel', 'Robert',   1199.99D,    'http://example.com/x?brand=Acme&sz=9', 'a:1,b:7'),
+        (2, 'PROMO polished COPPER', 'Rupert',   0.5D,        'http://example.com/p?brand=Zeta',      'a:2,b:42'),
+        (3, 'standard anodized tin', 'Ashcraft', -42.129D,    'http://example.com/?q=1&brand=Last',   'b:0,c:3'),
+        (4, 'small plated nickel',   'Tymczak',  1234567.891D,'http://example.com/x?other=1',         'a:9,c:4'),
+        (5, 'large burnished brass', 'Pfister',  0.0D,        'http://example.com/x?brand=',          'x:1')
+        AS t(id, s, w, x, u, m)"""),
+    // Pinned expectations: soundex rows are the canonical test vectors
+    // (Robert/Rupert→R163, Ashcraft→A261, Tymczak→T522, Pfister→P236),
+    // crc32 verified against zlib, xxhash64 is Spark's fixed-seed-42
+    // variant (also pinned in FunctionSpec).
+    Some("""
+      SELECT * FROM (VALUES
+        (1, 'Economy Brushed Steel', 'R163', '1,199.99',
+         'Acme', '7', CAST(2125754577 AS BIGINT),
+         CAST(4062994869349139189 AS BIGINT), '{"w":"Robert","n":1}'),
+        (2, 'Promo Polished Copper', 'R163', '0.50',
+         'Zeta', '42', CAST(2935251174 AS BIGINT),
+         CAST(-2498947209604136897 AS BIGINT), '{"w":"Rupert","n":2}'),
+        (3, 'Standard Anodized Tin', 'A261', '-42.13',
+         'Last', '0', CAST(2337072898 AS BIGINT),
+         CAST(8625032009485139586 AS BIGINT), '{"w":"Ashcraft","n":3}'),
+        (4, 'Small Plated Nickel', 'T522', '1,234,567.89',
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(3507137138 AS BIGINT),
+         CAST(8439251610845962639 AS BIGINT), '{"w":"Tymczak","n":4}'),
+        (5, 'Large Burnished Brass', 'P236', '0.00',
+         '', CAST(NULL AS VARCHAR), CAST(2026213310 AS BIGINT),
+         CAST(-8593879582400526237 AS BIGINT), '{"w":"Pfister","n":5}')
+      ) t(id, ic, sx, fmtn, purl, m_b, crc, xx, js)"""))
 
   val qFnHash = QDef(
     "q_fn_hash",

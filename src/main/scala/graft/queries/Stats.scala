@@ -58,33 +58,110 @@ object Stats extends QModule {
       FROM g"""))
 
   /** Built-in stat aggregates (covar_samp/corr/stddev/skewness/kurtosis):
-    * float merge order makes them run-dependent in the last ulps, so the
-    * driver does a rows-only check; OperatorSpec bounds them against the
-    * exact-decimal versions.
+    * float merge order makes the raw values run-dependent in the last
+    * ulps, so instead of emitting them the query emits DERIVED CHECKS —
+    * each engine's builtin compared against the exact power-sum form at
+    * 1e-9 mixed (absolute+relative) tolerance, a margin ~10^6 above ulp
+    * drift yet ~10^6 below any algorithmic error. The definitions differ
+    * per engine (Spark skewness/kurtosis are the population g1/g2;
+    * DuckDB's are the bias-corrected sample G1/G2 — verified empirically),
+    * so each dialect checks against ITS definition; only the booleans
+    * (plus the exact group count) are hash-compared.
     */
+  private def builtinSql(dialect: String): String = {
+    val (skewE, kurtE) = dialect match {
+      case "spark" => ("g1", "g2")
+      case _ => ("g1 * sqrt(n * (n - 1)) / (n - 2)",
+        "((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)")
+    }
+    s"""
+      WITH g AS (
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          covar_samp(l_quantity, l_extendedprice) AS cov_b,
+          corr(l_quantity, l_extendedprice) AS corr_b,
+          stddev(l_quantity) AS std_b,
+          skewness(l_quantity) AS skew_b,
+          kurtosis(l_quantity) AS kurt_b,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+          CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+          CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag),
+      m AS (
+        SELECT l_returnflag, n, cov_b, corr_b, std_b, skew_b, kurt_b,
+          s2 - s1 * s1 / n AS m2,
+          s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n) AS m3,
+          s4 - 4 * s1 * s3 / n + 6 * s1 * s1 * s2 / (n * n)
+             - 3 * s1 * s1 * s1 * s1 / (n * n * n) AS m4,
+          sxy - s1 * sy / n AS cxy,
+          syy - sy * sy / n AS cyy
+        FROM g),
+      e AS (
+        SELECT l_returnflag, n, cov_b, corr_b, std_b, skew_b, kurt_b, m2, cxy, cyy,
+          sqrt(n) * m3 / (m2 * sqrt(m2)) AS g1,
+          n * m4 / (m2 * m2) - 3 AS g2
+        FROM m)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        abs(cov_b - cxy / (n - 1)) <= 1e-9 * (1 + abs(cxy / (n - 1))) AS cov_ok,
+        abs(corr_b - cxy / sqrt(m2 * cyy)) <= 1e-9 * (1 + abs(cxy / sqrt(m2 * cyy))) AS corr_ok,
+        abs(std_b - sqrt(m2 / (n - 1))) <= 1e-9 * (1 + sqrt(m2 / (n - 1))) AS std_ok,
+        abs(skew_b - ($skewE)) <= 1e-9 * (1 + abs($skewE)) AS skew_ok,
+        abs(kurt_b - ($kurtE)) <= 1e-9 * (1 + abs($kurtE)) AS kurt_ok
+      FROM e"""
+  }
   val qStatBuiltin = QDef(
     "q_stat_builtin",
-    (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
-      covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov_b"),
-      corr(col("l_quantity"), col("l_extendedprice")).as("corr_b"),
-      stddev(col("l_quantity")).as("std_b"),
-      skewness(col("l_quantity")).as("skew_b"),
-      kurtosis(col("l_quantity")).as("kurt_b")),
-    None)
+    sqlQ(builtinSql("spark")),
+    Some(builtinSql("duck")))
 
   /** Greenwald-Khanna approxQuantile (driver-side helper wrapped back
-    * into a frame; deterministic for a fixed dataset+epsilon, but no
-    * cross-engine oracle).
+    * into a frame). The raw values are algorithm-specific, so the query
+    * emits the GK CONTRACT instead: the returned value's exact rank
+    * interval [count(<v)+1, count(<=v)] must intersect
+    * [floor((phi-eps)n), ceil((phi+eps)n)] — Spark checks its GK result,
+    * the oracle checks DuckDB's exact interpolated quantile (which
+    * trivially satisfies the same bound, computed the same way).
     */
   val qStatApproxQuantile = QDef(
     "q_stat_approxquantile",
     (s, d) => {
-      val qs = t(s, d, "lineitem").stat
-        .approxQuantile("l_extendedprice", Array(0.25, 0.5, 0.75), 0.01)
+      val eps = 0.01
+      val li = t(s, d, "lineitem")
+      val qs = li.stat
+        .approxQuantile("l_extendedprice", Array(0.25, 0.5, 0.75), eps)
       import s.implicits._
-      qs.toSeq.zip(Seq("q25", "q50", "q75")).map(_.swap).toDF("q", "v")
+      val probes = Seq(("q25", 0.25, qs(0)), ("q50", 0.50, qs(1)), ("q75", 0.75, qs(2)))
+        .toDF("q", "phi", "v")
+      li.crossJoin(broadcast(probes))
+        .groupBy("q", "phi", "v")
+        .agg(
+          sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L)).as("lt"),
+          sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L)).as("le"),
+          count(lit(1)).as("cnt"))
+        .select(col("q"),
+          (col("lt") + lit(1) <= ceil((col("phi") + lit(eps)) * col("cnt")) &&
+            col("le") >= floor((col("phi") - lit(eps)) * col("cnt"))).as("rank_ok"))
     },
-    None)
+    Some("""
+      WITH n AS (SELECT COUNT(*) AS cnt FROM lineitem),
+      b AS (
+        SELECT 'q25' AS q, 0.25 AS phi, quantile_cont(l_extendedprice, 0.25) AS v FROM lineitem
+        UNION ALL
+        SELECT 'q50', 0.50, quantile_cont(l_extendedprice, 0.50) FROM lineitem
+        UNION ALL
+        SELECT 'q75', 0.75, quantile_cont(l_extendedprice, 0.75) FROM lineitem),
+      r AS (
+        SELECT q, phi, v, cnt,
+          (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice < b.v) AS lt,
+          (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= b.v) AS le
+        FROM b, n)
+      SELECT q, (lt + 1 <= ceil((phi + 0.01) * cnt))
+             AND (le >= floor((phi - 0.01) * cnt)) AS rank_ok
+      FROM r"""))
 
   /** Deterministic stratified sample: exact per-key Bernoulli via md5 of
     * the primary key — reproducible across engines AND cluster sizes
@@ -146,22 +223,48 @@ object Stats extends QModule {
   val qStatRegr = QDef("q_stat_regr", sqlQ(regrSql), Some(regrSql))
 
   /** The built-in regr_* SQL names (regr_count/avgx/avgy/slope/intercept/
-    * r2) — double merge order makes the float ones run-dependent in the
-    * last ulps, so rows-only like [[qStatBuiltin]]; q_stat_regr is the
-    * exact-valued equivalent.
+    * r2): definitions are SQL-standard and shared by both engines, but the
+    * float values are merge-order-dependent in the last ulps — so like
+    * [[qStatBuiltin]] the query emits derived checks (each engine's
+    * builtin vs the exact power-sum form, 1e-9 mixed tolerance) plus the
+    * exactly-comparable regr_count. One shared ANSI text runs on both.
     */
+  private val regrBuiltinSql = """
+      WITH g AS (
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          regr_count(l_extendedprice, l_quantity) AS rc,
+          regr_avgx(l_extendedprice, l_quantity) AS rax,
+          regr_avgy(l_extendedprice, l_quantity) AS ray,
+          regr_slope(l_extendedprice, l_quantity) AS rs,
+          regr_intercept(l_extendedprice, l_quantity) AS ri,
+          regr_r2(l_extendedprice, l_quantity) AS rr2,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag),
+      e AS (
+        SELECT l_returnflag, n, rc, rax, ray, rs, ri, rr2,
+          (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_e,
+          sx / n AS ax_e,
+          sy / n AS ay_e,
+          ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+            ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2_e
+        FROM g)
+      SELECT l_returnflag,
+        CAST(rc AS BIGINT) AS rc,
+        abs(rax - ax_e) <= 1e-9 * (1 + abs(ax_e)) AS rax_ok,
+        abs(ray - ay_e) <= 1e-9 * (1 + abs(ay_e)) AS ray_ok,
+        abs(rs - slope_e) <= 1e-9 * (1 + abs(slope_e)) AS rs_ok,
+        abs(ri - (ay_e - slope_e * ax_e)) <= 1e-9 * (1 + abs(ay_e - slope_e * ax_e)) AS ri_ok,
+        abs(rr2 - r2_e) <= 1e-9 * (1 + abs(r2_e)) AS rr2_ok
+      FROM e"""
   val qStatRegrBuiltin = QDef(
     "q_stat_regr_builtin",
-    sqlQ("""
-      SELECT l_returnflag,
-        regr_count(l_extendedprice, l_quantity) AS rc,
-        regr_avgx(l_extendedprice, l_quantity) AS rax,
-        regr_avgy(l_extendedprice, l_quantity) AS ray,
-        regr_slope(l_extendedprice, l_quantity) AS rs,
-        regr_intercept(l_extendedprice, l_quantity) AS ri,
-        regr_r2(l_extendedprice, l_quantity) AS rr2
-      FROM lineitem GROUP BY l_returnflag"""),
-    None)
+    sqlQ(regrBuiltinSql),
+    Some(regrBuiltinSql))
 
   /** Per-source quota sampling: keep at most K documents per source,
     * chosen by a deterministic content-hash order (md5 of the id, id

@@ -164,7 +164,11 @@ object Windows extends QModule {
 
   /** Bounded sliding ROWS frame (2 preceding .. 1 following) and a
     * numeric-offset RANGE frame (acctbal ± 100) — the remaining
-    * WindowFunctionFrame variants (offset/sliding/shrinking).
+    * WindowFunctionFrame variants (offset/sliding/shrinking). The RANGE
+    * branch is partitioned by c_nationkey so no row ever passes through a
+    * global single-task window (it still exercises the sliding-RANGE
+    * WindowFunctionFrame variant; the per-nation frame is the shape a
+    * cluster can parallelize).
     */
   val qWinFrames = QDef(
     "q_win_frames",
@@ -172,7 +176,8 @@ object Windows extends QModule {
       val byCust = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val sliding = byCust.rowsBetween(-2, 1)
-      val range = Window.orderBy(col("c_acctbal")).rangeBetween(-100L, 100L)
+      val range = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal")).rangeBetween(-100L, 100L)
       val o = t(s, d, "orders").select(
         col("o_orderkey"),
         count(lit(1)).over(sliding).as("w_cnt"),
@@ -193,7 +198,7 @@ object Windows extends QModule {
                    ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
       UNION ALL
       SELECT c_custkey AS o_orderkey,
-        CAST(COUNT(*) OVER (ORDER BY c_acctbal
+        CAST(COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
                             RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS BIGINT) AS w_cnt,
         CAST(NULL AS DOUBLE) AS w_sum
       FROM customer"""))
