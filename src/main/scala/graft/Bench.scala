@@ -21,11 +21,27 @@ object Bench {
     // Pipelined-pass knobs: FAIR round-robins stages of concurrent jobs
     // (the multi-tenant cluster posture; FIFO can park short queries
     // behind a long stage queue), pool width bounds in-flight queries.
+    // FAIR only takes effect inside a pool DECLARED fair — the default
+    // pool a FairSchedulableBuilder creates is internally FIFO — so an
+    // allocation file defines a fair "bench" pool and every pipelined
+    // thread submits into it via the spark.scheduler.pool local property.
     val schedMode = sys.env.getOrElse("SPARK_GRAFT_SCHED", "FAIR")
     val pipeThreads = sys.env.getOrElse("SPARK_GRAFT_PIPE_THREADS", "8").toInt
+    val poolFile = java.nio.file.Files.createTempFile("graft-pools", ".xml")
+    java.nio.file.Files.writeString(poolFile,
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<allocations>
+        |  <pool name="bench">
+        |    <schedulingMode>FAIR</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin)
     val spark = Engine
       .builder("graft-bench", s"local[$cpus]", cpus.toInt)
       .config("spark.scheduler.mode", schedMode)
+      .config("spark.scheduler.allocation.file", poolFile.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: session/codegen/FS-cache spin-up is fixed overhead
@@ -93,6 +109,9 @@ object Bench {
       val t0 = System.nanoTime()
       val fs = runnable.map { q =>
         scala.concurrent.Future {
+          // per-thread local property: route this query's jobs into the
+          // declared-fair pool (pool threads are reused, so set per task)
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "bench")
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
       }
@@ -106,7 +125,15 @@ object Bench {
         -1.0
       } finally pool.shutdown()
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"rounds":$rounds,"rounds_raw":$raw,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"pipelined_total":${fmt(pipelinedTotal)},"sched_mode":"$schedMode","pipe_threads":$pipeThreads,"sf":"$sfDir"}""")
+    val jsonLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"rounds":$rounds,"rounds_raw":$raw,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"pipelined_total":${fmt(pipelinedTotal)},"sched_mode":"$schedMode","pipe_threads":$pipeThreads,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // Also persist the line: the driver's stdout tail-capture has cut it
+    // mid-stream before (~2.4 KB now), and a file survives that.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), jsonLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     SessionCache.clear(spark)
     Tables.clear(spark)
     spark.stop()

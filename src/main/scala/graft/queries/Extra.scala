@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Exact, QDef, QModule}
+import graft.{Exact, QDef, QModule, SessionCache}
 import graft.functions.{TopKAgg, WeightedAvg}
 import graft.multimodal.Multimodal
 import graft.operators.Salt
@@ -127,6 +127,31 @@ object Extra extends QModule {
       FROM (SELECT UNNEST(range(0, 1000, 7)) AS id) t
       WHERE id % 2 = 0 ORDER BY id"""))
 
+  /** InMemoryTableScan as a DECLARED query (SURVEY §2.1 cache scan —
+    * reference InMemoryTableScanExec): the aggregate reads the session's
+    * columnar cache, not the parquet file (plan-asserted in SourcesSpec).
+    * The cached projection is memoized via [[graft.SessionCache]] so
+    * repeated invocations reuse one cache entry and teardown unpersists
+    * it; the oracle is simply the same aggregate over the uncached table —
+    * caching must never change results.
+    */
+  val qSrcCache = QDef(
+    "q_src_cache",
+    (s, d) => {
+      val base = SessionCache.memo(s, s"cachescan:$d") {
+        val df = t(s, d, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal").cache()
+        df.count() // materialize so downstream scans hit the columnar cache
+        df
+      }
+      base.groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"), Exact.dsum(col("c_acctbal"), 2).as("bal"))
+    },
+    Some(s"""
+      SELECT c_nationkey, COUNT(*) AS n_cust,
+             ${Exact.dsumSql("c_acctbal", 2)} AS bal
+      FROM customer GROUP BY c_nationkey"""))
+
   /** DataFrameNaFunctions surface: null-producing LEFT join, then
     * na.fill for the value column and na.replace mapping a sentinel —
     * aggregated so the oracle is a COALESCE/CASE mirror over the same
@@ -155,5 +180,5 @@ object Extra extends QModule {
       GROUP BY CASE WHEN c_nationkey = 0 THEN 999 ELSE c_nationkey END"""))
 
   val defs: Seq[QDef] = Seq(qAggWeighted, qMmFeatures, qMmFrames, qTopkPerKey,
-    qTopkAgg, qSaltedAgg, qSrcRange, qFnNa)
+    qTopkAgg, qSaltedAgg, qSrcRange, qSrcCache, qFnNa)
 }

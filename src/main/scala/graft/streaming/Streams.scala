@@ -5,7 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** Structured-Streaming operator layer (SURVEY.md §2.9, M2 — the
   * BASELINE.json "Structured Streaming optimization" focus).
@@ -264,5 +265,71 @@ object Streams {
         new SessionProcessor(gapUs),
         TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  final case class CatalogOut(
+      user_id: Long, event_type: String, cnt: Long, buffered: Long)
+
+  /** The COMPOSITE state kinds of transformWithState (SURVEY §2.9 —
+    * arbitrary per-key state, the modern FlatMapGroupsWithStateExec bar):
+    * a per-user catalog holding a `MapState` (event_type → running count;
+    * point lookups/updates hit ONE map entry in the state store, not a
+    * deserialize-modify-write of a whole blob — the property that keeps
+    * wide per-key catalogs viable at 100 TB state) and a `ListState`
+    * (append-only event-id buffer; appends are O(delta), reads stream).
+    * Both carry the same `TTLConfig` — pass a finite TTL and entries
+    * UNTOUCHED for that long expire without any user code, the state-
+    * hygiene contract for keys that go quiet forever (abandoned users).
+    * Emits, per user×type touched in a micro-batch, the updated count and
+    * the buffer length — so a spec can equivalence-check the final counts
+    * against a batch groupBy and observe TTL expiry as a count reset.
+    */
+  final class UserCatalogProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Event, CatalogOut] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "typeCounts", Encoders.STRING, Encoders.scalaLong, ttl)
+      recent = getHandle.getListState[Long]("recentIds", Encoders.scalaLong, ttl)
+    }
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event], timers: TimerValues): Iterator[CatalogOut] = {
+      val evs = rows.toSeq
+      evs.foreach { e =>
+        val cur =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+      }
+      recent.appendList(evs.map(_.event_id).toArray)
+      val buffered = recent.get().size.toLong
+      evs.map(_.event_type).distinct.iterator
+        .map(t => CatalogOut(userId, t, counts.getValue(t), buffered))
+    }
+  }
+
+  /** Per-user catalog over [[UserCatalogProcessor]]. State TTL is a
+    * processing-time contract (evict what hasn't been TOUCHED lately,
+    * independent of event-time watermarks), so a finite TTL requires
+    * `TimeMode.ProcessingTime` — and in that mode the micro-batch engine
+    * keeps scheduling NO-DATA batches to run evictions, so the query
+    * never quiesces and `processAllAvailable` must not be used to drive
+    * it (poll the sink instead). Without a TTL the catalog runs in
+    * `TimeMode.None` and behaves like any data-driven streaming agg.
+    */
+  def userCatalogTWS(
+      events: Dataset[Event], ttl: TTLConfig = TTLConfig.NONE): Dataset[CatalogOut] = {
+    implicit val outEnc: org.apache.spark.sql.Encoder[CatalogOut] =
+      Encoders.product[CatalogOut]
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(
+        new UserCatalogProcessor(ttl),
+        timeMode,
+        OutputMode.Update())
   }
 }

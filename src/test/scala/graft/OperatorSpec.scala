@@ -35,6 +35,40 @@ class OperatorSpec extends SparkSpecBase {
     assert(out(3L).isEmpty)
   }
 
+  test("Components.labelPropagate fails loudly when maxIter is below the diameter") {
+    import spark.implicits._
+    // a 10-node chain has diameter 9: min-label needs ~9 rounds to reach
+    // the far end, so maxIter=3 must throw, not return partial labels
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      operators.Components.labelPropagate(chain, "a", "b", maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same chain resolves to one component
+    val ok = operators.Components.labelPropagate(chain, "a", "b", maxIter = 15)
+      .collect().map(_.getLong(1)).distinct
+    assert(ok.toSeq == Seq(0L))
+  }
+
+  test("Components round runs ONE job (convergence probe is an observed metric)") {
+    import spark.implicits._
+    // two triangles: converges in 2 rounds + 1 confirming round
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("a", "b")
+    spark.sparkContext.setJobGroup("cc-jobcount", "labelPropagate job audit")
+    try operators.Components.labelPropagate(edges, "a", "b")
+    finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("cc-jobcount").length
+    // triangles converge in round 1 + one confirming round = 2 rounds.
+    // Budget: 2 setup checkpoints + 4 jobs/round (AQE shuffle-stage job,
+    // broadcast job, eager-checkpoint job, one slack). A separate
+    // convergence-probe job per round (the pre-r5 join+isEmpty) would add
+    // ≥1 job per round and trip the bound.
+    assert(jobs <= 2 + 2 * 4,
+      s"labelPropagate ran $jobs jobs — convergence probe is running as a " +
+        "separate job again?")
+  }
+
   test("Exact.dsum is partition-order independent and exact") {
     import spark.implicits._
     val vals = Seq.tabulate(1000)(i => (i % 7, (i % 100) + 0.25))

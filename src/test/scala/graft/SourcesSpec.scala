@@ -176,6 +176,21 @@ class SourcesSpec extends SparkSpecBase {
     } finally df.unpersist()
   }
 
+  test("q_src_cache scans the columnar cache, not parquet") {
+    val df = SparkEntry.queries("q_src_cache")(spark, sf)
+    // the executed plan must read through InMemoryTableScan; the FileScan
+    // that appears below it is the InMemoryRelation's ORIGIN plan (what to
+    // recompute on eviction), not an active scan, so only the sparkPlan
+    // ABOVE the cache boundary is checked for file scans.
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("InMemoryTableScan"),
+      s"declared cache query is not reading the cache:\n$physical")
+    val aboveCache = physical.linesIterator
+      .takeWhile(!_.contains("InMemoryTableScan")).mkString("\n")
+    assert(!aboveCache.contains("FileScan"),
+      s"a parquet scan sits above the cache boundary:\n$physical")
+  }
+
   test("JDBC round-trip, filter pushdown, and partitioned parallel read (embedded Derby)") {
     // derby.jar ships with the Spark distribution, so the stock
     // spark.read/write.jdbc path is exercised end-to-end in-process — the

@@ -514,6 +514,73 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("transformWithState MapState/ListState catalog matches batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.userCatalogTWS(input.toDS())
+      .writeStream.format("memory").queryName("t_catalog")
+      .outputMode(OutputMode.Update).start()
+    try {
+      chunked(batchEvents, 6).foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val table = spark.table("t_catalog")
+    // counts are monotone per (user, type) without TTL, so the final
+    // MapState value is the max emitted update
+    val got = table.groupBy("user_id", "event_type").agg(max("cnt").as("cnt"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val want = Tables.load(spark, sf, "events")
+      .groupBy("user_id", "event_type").count()
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == want, "MapState per-type counts diverge from batch groupBy")
+    // the ListState buffer is append-only: its final length is the user's
+    // total event count
+    val gotBuf = table.groupBy("user_id").agg(max("buffered").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantBuf = Tables.load(spark, sf, "events").groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotBuf == wantBuf, "ListState buffer lengths diverge from batch counts")
+  }
+
+  test("state TTL expires untouched MapState/ListState entries between batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long, typ: String) =
+      Event(id, new Timestamp(1000L * id), user, typ, 1.0)
+    // a finite TTL forces TimeMode.ProcessingTime, where the engine keeps
+    // scheduling no-data batches to run evictions — the query never
+    // quiesces, so processAllAvailable would block forever; poll the sink
+    // for the expected row instead.
+    def awaitRow(cnt: Long, buf: Long): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table("t_catalog_ttl")
+               .filter(col("cnt") === cnt && col("buffered") === buf).isEmpty) {
+        assert(System.nanoTime() < deadline, s"sink never saw (cnt=$cnt, buf=$buf)")
+        Thread.sleep(100)
+      }
+    }
+    val input = MemoryStream[Event]
+    val ttl = org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(300))
+    val q = Streams.userCatalogTWS(input.toDS(), ttl)
+      .writeStream.format("memory").queryName("t_catalog_ttl")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Seq(ev(1, 7, "click"), ev(2, 7, "click")))
+      awaitRow(2L, 2L)
+      Thread.sleep(1200) // well past the 300 ms TTL — batch-1 state expires
+      input.addData(Seq(ev(3, 7, "click")))
+      awaitRow(1L, 1L)
+    } finally q.stop()
+    val rows = spark.table("t_catalog_ttl")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // batch 1 saw both clicks: count 2, buffer 2
+    assert(rows.contains((7L, "click", 2L, 2L)), s"batch-1 state missing: $rows")
+    // batch 2 must observe EXPIRED state: count restarts at 1, buffer at 1.
+    // Were TTL ignored, it would emit (7, click, 3, 3) instead.
+    assert(rows.contains((7L, "click", 1L, 1L)), s"TTL did not expire state: $rows")
+    assert(!rows.exists(_._3 == 3L), s"TTL ignored — count kept growing: $rows")
+  }
+
   test("native parquet file-stream sink is exactly-once across restart (manifest-committed)") {
     import java.nio.file.Files
     val inDir = Files.createTempDirectory("graft-fsink-in").toString
