@@ -199,6 +199,35 @@ object Stats extends QModule {
     sqlQ(mixtureSql("spark")),
     Some(mixtureSql("duck")))
 
+  /** Deterministic train/val/test split (~80/10/10): each document's
+    * split is a pure function of a 256-bucket hash of its primary key —
+    * the split a training pipeline must be able to reproduce on any
+    * engine, any cluster size, any retry, with no shuffled global sort
+    * or seed-dependent RNG. A pure projection + one aggregate: splitting
+    * 100 TB costs one scan. Per-(lang, split) counts and char volumes
+    * make leakage/imbalance auditable in the same pass.
+    */
+  private def splitSql(dialect: String): String = {
+    val pos = dialect match { case "spark" => "instr"; case _ => "strpos" }
+    val hexDig = (i: Int) =>
+      s"($pos('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), $i, 1)) - 1)"
+    s"""
+      SELECT lang, split, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM (SELECT lang, n_chars,
+                   CASE WHEN h < 205 THEN 'train'
+                        WHEN h < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT lang, n_chars,
+                         16 * ${hexDig(1)} + ${hexDig(2)} AS h
+                  FROM documents) x) tagged
+      GROUP BY lang, split ORDER BY lang, split"""
+  }
+  val qStatSplit = QDef(
+    "q_stat_split",
+    sqlQ(splitSql("spark")),
+    Some(splitSql("duck")))
+
   /** Linear-regression family (SURVEY §2.8 regr_*): slope, intercept and
     * r² from exact decimal power sums — the same mirrored-double-tree
     * pattern as [[qStatCovCorr]], so values are engine-equal and
@@ -286,5 +315,5 @@ object Stats extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qStatCrosstab, qStatCovCorr, qStatBuiltin, qStatApproxQuantile, qStatSampleBy,
-    qStatMixture, qStatRegr, qStatRegrBuiltin, qStatQuota)
+    qStatMixture, qStatSplit, qStatRegr, qStatRegrBuiltin, qStatQuota)
 }

@@ -602,4 +602,27 @@ class OperatorSpec extends SparkSpecBase {
       l.contains("Exchange hashpartitioning(sk"))
     assert(skExchanges == 1, s"Q47 windows re-shuffled ($skExchanges sk exchanges):\n$s47")
   }
+
+  test("TPC-DS batch-3 shapes: rollup windows rank bounded grains, conditional splits scan once") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q67/Q36: the ROLLUP Expand feeds a rank window over the rolled-up
+    // grain (brands x years / regions x nations — bounded at any SF)
+    for (n <- Seq("q_tpcds_q67", "q_tpcds_q36")) {
+      val s = plan(n)
+      assert(s.contains("Expand"), s"$n lost the ROLLUP Expand:\n$s")
+      assert(s.contains("Window"), s"$n lost the rank window:\n$s")
+      assert(!s.contains("CartesianProduct"), s"$n degraded:\n$s")
+    }
+    // Q36's dim chain broadcasts — the fact is never shuffled per dim
+    val s36 = plan("q_tpcds_q36")
+    assert(s36.contains("BroadcastHashJoin"), s"Q36 dims not broadcast:\n$s36")
+    // Q21/Q66: before/after and monthly pivots are ONE conditional-agg
+    // scan of the fact, not per-band self-joins or re-scans
+    for (n <- Seq("q_tpcds_q21", "q_tpcds_q66")) {
+      val s = plan(n)
+      val scans = s.linesIterator.count(_.contains("FileScan"))
+      assert(scans == 1, s"$n re-scans the fact ($scans scans):\n$s")
+    }
+  }
 }
