@@ -55,10 +55,16 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    val names = SparkEntry.benchQueries.map(_.name)
+    // Dev knob: SPARK_GRAFT_ONLY=q_a,q_b restricts the set — for timing
+    // one query's before/after without paying the whole headline pass.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchSet = SparkEntry.benchQueries
+      .filter(q => only.forall(_.contains(q.name)))
+    val names = benchSet.map(_.name)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    for (r <- 1 to rounds; q <- SparkEntry.benchQueries) {
+    for (r <- 1 to rounds; q <- benchSet) {
       val t0 = System.nanoTime()
       try {
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -105,7 +111,7 @@ object Bench {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(pipeThreads)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val runnable = SparkEntry.benchQueries.filterNot(q => failed(q.name))
+      val runnable = benchSet.filterNot(q => failed(q.name))
       val t0 = System.nanoTime()
       val fs = runnable.map { q =>
         scala.concurrent.Future {

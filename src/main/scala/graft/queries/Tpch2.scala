@@ -199,19 +199,24 @@ object Tpch2 extends QModule {
     * correlated ONLY by o_orderkey equality so Catalyst decorrelates to
     * left-semi/left-anti joins. "Late" (no receipt/commit dates in the
     * fixture) is shipped >500 days after the order date, precomputed once
-    * in a CTE shared by the base and anti branches.
+    * in a CTE shared by the base and anti branches. The `'F'` status
+    * filter lives INSIDE the CTE: orderkey is the orders primary key, so
+    * status is functionally determined by the correlation key and the
+    * push is semantics-preserving — it shrinks BOTH CTE instances (the
+    * anti build side included, which the textbook form leaves unfiltered)
+    * and deletes the base's second orders join outright. The shuffle the
+    * anti join pays then carries only F-order late lines.
     */
   private val q21Sql = """
       WITH late AS (
         SELECT l_orderkey, l_suppkey
         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-        WHERE l_shipdate > o_orderdate + INTERVAL 500 DAY)
+        WHERE l_shipdate > o_orderdate + INTERVAL 500 DAY
+          AND o_orderstatus = 'F')
       SELECT s_name, COUNT(*) AS numwait
       FROM supplier
         JOIN late l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-      WHERE o_orderstatus = 'F'
-        AND EXISTS (SELECT 1 FROM lineitem l2
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
                     WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
         AND NOT EXISTS (SELECT 1 FROM late l3
                         WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
