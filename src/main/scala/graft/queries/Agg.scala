@@ -442,6 +442,31 @@ object Agg extends QModule {
       FROM lineitem GROUP BY l_returnflag"""),
     bench = true)
 
+  /** max_by/min_by builtins (SURVEY §2.4 argmin/argmax; DuckDB spells
+    * them arg_max/arg_min — the only dialect delta). The ordering key is
+    * (price units, orderkey) packed into one BIGINT, so it is UNIQUE per
+    * row: without the tie-breaker, two orders sharing a total price would
+    * make the builtin's answer engine/partitioning-dependent and the hash
+    * gate flaky — the same determinism rule as every top-k in this repo.
+    */
+  private def maxBySql(dialect: String): String = {
+    val (mx, mn) = dialect match {
+      case "spark" => ("MAX_BY", "MIN_BY")
+      case _       => ("arg_max", "arg_min")
+    }
+    val key = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey"
+    s"""
+      SELECT o_orderstatus,
+             $mx(o_orderkey, $key) AS priciest_order,
+             $mn(o_orderkey, $key) AS cheapest_order,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
+  val qAggMaxBy = QDef(
+    "q_agg_maxby",
+    sqlQ(maxBySql("spark")),
+    Some(maxBySql("duck")))
+
   /** Multi-aggregate pivot: `.pivot(col, values).agg(n, sum)` widens to
     * value×aggregate suffixed columns in ONE pass over the fact (the
     * conditional-aggregation plan — no per-value re-scan). Values are
@@ -469,5 +494,6 @@ object Agg extends QModule {
     qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
     qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
     qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter, qAggPctWithin,
-    qAggRollupDistinct, qAggBitmap, qAggDistinctBitmap, qAggPivotMulti)
+    qAggRollupDistinct, qAggBitmap, qAggDistinctBitmap, qAggPivotMulti,
+    qAggMaxBy)
 }

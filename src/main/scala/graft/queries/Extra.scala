@@ -152,6 +152,39 @@ object Extra extends QModule {
              ${Exact.dsumSql("c_acctbal", 2)} AS bal
       FROM customer GROUP BY c_nationkey"""))
 
+  /** JDBC source/sink as a DECLARED query (SURVEY §2.1 JDBC row;
+    * reference JDBCRelation/JDBCRDD): customer rows round-trip through an
+    * embedded Derby database — the stock `spark.read/write.jdbc` code
+    * path any warehouse source uses — with the PARTITIONED read (4
+    * range-bound parallel queries on the key, the only JDBC shape that
+    * scales: an unpartitioned JDBC read is one executor pulling the
+    * whole table through one connection). The aggregate over the
+    * read-back must equal the oracle's aggregate over the parquet
+    * source — JDBC round-trips are lossless for BIGINT/INT/DOUBLE.
+    * Derby uppercases identifiers, so columns are re-aliased to match
+    * the oracle. The key-bounds lookup is a 1-row metadata action, same
+    * as any production bounds probe.
+    */
+  val qSrcJdbc = QDef(
+    "q_src_jdbc",
+    (s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-jdbc-${ProcessHandle.current().pid()}"
+      System.setProperty("derby.stream.error.file", s"$base/derby.log")
+      val url = s"jdbc:derby:$base/db;create=true"
+      val props = new java.util.Properties()
+      val cust = t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+      cust.write.mode("overwrite").jdbc(url, "customer_jdbc", props)
+      val hi = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val back = s.read.jdbc(url, "customer_jdbc", "C_CUSTKEY",
+        lowerBound = 0L, upperBound = hi + 1, numPartitions = 4, props)
+      back.groupBy(col("C_NATIONKEY").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), Exact.dsum(col("C_ACCTBAL"), 2).as("bal"))
+    },
+    Some(s"""
+      SELECT c_nationkey, COUNT(*) AS n_cust,
+             ${Exact.dsumSql("c_acctbal", 2)} AS bal
+      FROM customer GROUP BY c_nationkey"""))
+
   /** DataFrameNaFunctions surface: null-producing LEFT join, then
     * na.fill for the value column and na.replace mapping a sentinel —
     * aggregated so the oracle is a COALESCE/CASE mirror over the same
@@ -180,5 +213,5 @@ object Extra extends QModule {
       GROUP BY CASE WHEN c_nationkey = 0 THEN 999 ELSE c_nationkey END"""))
 
   val defs: Seq[QDef] = Seq(qAggWeighted, qMmFeatures, qMmFrames, qTopkPerKey,
-    qTopkAgg, qSaltedAgg, qSrcRange, qSrcCache, qFnNa)
+    qTopkAgg, qSaltedAgg, qSrcRange, qSrcCache, qSrcJdbc, qFnNa)
 }

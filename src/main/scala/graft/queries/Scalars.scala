@@ -471,8 +471,33 @@ object Scalars extends QModule {
       SELECT spine.mo, COALESCE(n, 0) AS n_orders
       FROM spine LEFT JOIN m ON spine.mo = m.mo ORDER BY spine.mo"""))
 
+  /** from_csv: schema'd CSV-in-a-cell parsing (SURVEY §2.8 from_csv row
+    * — the row-level twin of the csv SOURCE, used when a column carries
+    * embedded delimited records). DuckDB has no from_csv, so the oracle
+    * parses the same literals with split_part + casts — equal results
+    * prove the parse, the typing, and null-on-malformed (`PERMISSIVE`)
+    * behavior on the bad row.
+    */
+  val qFnFromCsv = QDef(
+    "q_fn_fromcsv",
+    sqlQ("""
+      SELECT s, c.x AS x, c.y AS y, c.z AS z
+      FROM (SELECT s, from_csv(s, 'x INT, y STRING, z DOUBLE') AS c
+            FROM VALUES ('1,alpha,1.5'), ('2,beta,2.25'), ('3,gamma,-0.75'),
+                        ('oops,delta,9.0') AS t(s))
+      ORDER BY s"""),
+    Some("""
+      SELECT s,
+             CAST(CASE WHEN regexp_matches(split_part(s, ',', 1), '^-?\d+$')
+                       THEN split_part(s, ',', 1) END AS INT) AS x,
+             split_part(s, ',', 2) AS y,
+             CAST(split_part(s, ',', 3) AS DOUBLE) AS z
+      FROM (VALUES ('1,alpha,1.5'), ('2,beta,2.25'), ('3,gamma,-0.75'),
+                   ('oops,delta,9.0')) t(s)
+      ORDER BY s"""))
+
   val defs: Seq[QDef] = Seq(
     qFnString, qFnMath, qFnDatetime, qFnCond, qFnRegex, qFnJson, qFnHash,
     qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc, qFnHof, qFnMap,
-    qFnTry, qFnExplodeOuter, qFnArraySet, qFnInline, qFnDateSpine)
+    qFnTry, qFnExplodeOuter, qFnArraySet, qFnInline, qFnDateSpine, qFnFromCsv)
 }

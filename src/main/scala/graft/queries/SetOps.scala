@@ -161,8 +161,32 @@ object SetOps extends QModule {
   val qSrcCsv = QDef("q_src_csv", roundTrip("csv"), Some(rtOracle))
   val qSrcJson = QDef("q_src_json", roundTrip("json"), Some(rtOracle))
 
+  /** ORC round-trip through the same lossless-aggregate contract as
+    * csv/json above: columnar ORC write + schema'd read must preserve
+    * every row exactly, so the aggregate over the read-back equals the
+    * oracle's aggregate over the source table (SURVEY §2.1 ORC row).
+    */
+  val qSrcOrc = QDef("q_src_orc", roundTrip("orc"), Some(rtOracle))
+
+  /** Text source round-trip (SURVEY §2.1 text row): one line per
+    * document (fixture text is single-line), read back as the text
+    * source's single `value` column; line count and char volume must
+    * match the source table exactly — losslessness is the whole contract
+    * of the text format.
+    */
+  private val qSrcTextFn: QFn = (s, d) => {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rt-text-${ProcessHandle.current().pid()}"
+    t(s, d, "documents").select("text").write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).cast("long").as("n_chars"))
+  }
+  val qSrcText = QDef("q_src_text", qSrcTextFn, Some("""
+      SELECT COUNT(*) AS n_lines, CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      FROM documents"""))
+
   val defs: Seq[QDef] = Seq(
     qSetUnion, qSetUnionAll, qSetIntersect, qSetExcept, qSetExceptAll,
     qSetIntersectAll, qSetDistinct, qSortTopk, qSortOffset, qSetUnionByName,
-    qSrcCsv, qSrcJson)
+    qSrcCsv, qSrcJson, qSrcOrc, qSrcText)
 }
