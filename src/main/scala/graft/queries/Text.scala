@@ -266,8 +266,43 @@ object Text extends QModule {
       FROM corpus c JOIN bench b ON c.g = b.g
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** PII redaction: email → <EMAIL>, US-phone (3-3-4) → <PHONE>,
+    * SSN (3-2-4) → <SSN>, chained regexp_replace — a pure projection, so
+    * scrubbing 100 TB costs one scan with no shuffle at all. The fixture
+    * corpus is synthetic word salad with no PII by construction
+    * (FIXTURES.md), so the patterns are exercised on literal rows where
+    * every match/non-match case is visible: hit, multi-hit, near-miss
+    * (3-2-4 vs 3-3-4), an EMBEDDED match ('1234-567-8901' redacts its
+    * tail — the patterns carry no word boundaries, erring toward
+    * over-redaction, the right default for PII), and clean text.
+    * Patterns use bracket classes only — no backslash escapes, which
+    * Spark and DuckDB string literals treat differently; DuckDB needs
+    * the 'g' flag Spark implies.
+    */
+  private def redactSql(dialect: String): String = {
+    val g = dialect match { case "spark" => ""; case _ => ", 'g'" }
+    s"""
+      SELECT id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(s,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}', '<EMAIL>'$g),
+                 '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>'$g),
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>'$g) AS clean
+      FROM (VALUES (1, 'contact bob@mail.example or 555-123-4567 anytime'),
+                   (2, 'ssn 123-45-6789 stays private; alt 999-88-7777 too'),
+                   (3, 'order 12-345-678 is not a phone, 1234-567-8901 almost'),
+                   (4, 'no pii here at all')) t(id, s)
+      ORDER BY id"""
+  }
+  val qTextRedact = QDef(
+    "q_text_redact",
+    sqlQ(redactSql("spark")),
+    Some(redactSql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
-    qTextRepetition, qTextNgramFreq, qTextChunks, qTextPack, qTextDecontam)
+    qTextRepetition, qTextNgramFreq, qTextChunks, qTextPack, qTextDecontam,
+    qTextRedact)
 }
 
