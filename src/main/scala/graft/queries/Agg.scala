@@ -283,6 +283,43 @@ object Agg extends QModule {
               AND quantile_cont(l_quantity, 0.6) AS p50_ok
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Apache DataSketches HLL surface (Spark ≥3.5 `hll_sketch_agg` /
+    * `hll_union_agg` / `hll_sketch_estimate` — SURVEY §2.4 sketch row):
+    * the MERGEABLE distinct sketch a 100 TB rollup keeps as incremental
+    * state. Raw sketch bytes are algorithm-specific, so the query emits
+    * the sketch CONTRACT: each group's estimate within ±5% of the exact
+    * distinct computed alongside (default lgK=12 ⇒ ~1.6% RSE, wide
+    * margin), and — the property that matters — the UNION of the
+    * per-group sketches re-estimating the GLOBAL distinct within ±5%,
+    * proving merge correctness without re-scanning. DuckDB mirrors the
+    * exact counts; the booleans are the cross-engine assertion.
+    */
+  val qAggHllSketch = QDef(
+    "q_agg_hllsketch",
+    sqlQ("""
+      WITH g AS (
+        SELECT o_orderstatus,
+               hll_sketch_agg(o_custkey) AS sk,
+               COUNT(DISTINCT o_custkey) AS exact_d
+        FROM orders GROUP BY o_orderstatus),
+      tot AS (SELECT COUNT(DISTINCT o_custkey) AS d FROM orders)
+      SELECT o_orderstatus, exact_d,
+             ABS(hll_sketch_estimate(sk) - exact_d) <= 0.05 * exact_d AS hll_ok
+      FROM g
+      UNION ALL
+      SELECT 'ALL', (SELECT d FROM tot),
+             ABS(hll_sketch_estimate(hll_union_agg(sk)) - (SELECT d FROM tot))
+               <= 0.05 * (SELECT d FROM tot) AS hll_ok
+      FROM g
+      ORDER BY o_orderstatus"""),
+    Some("""
+      SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_d,
+             TRUE AS hll_ok
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders
+      ORDER BY o_orderstatus"""))
+
   /** Unpivot (melt) — the inverse of pivot: wide per-nation metrics back to
     * (id, metric, val) long form via the typed `Dataset.unpivot` API. A pure
     * per-row Expand (no shuffle beyond the feeding aggregate); the oracle is
@@ -495,5 +532,5 @@ object Agg extends QModule {
     qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
     qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter, qAggPctWithin,
     qAggRollupDistinct, qAggBitmap, qAggDistinctBitmap, qAggPivotMulti,
-    qAggMaxBy)
+    qAggMaxBy, qAggHllSketch)
 }

@@ -138,7 +138,30 @@ object Sql extends QModule {
       SELECT id, depth, path FROM tree ORDER BY id"""
   val qSqlRecursive = QDef("q_sql_recursive", sqlQ(recursiveSql), Some(recursiveSql))
 
+  /** SQL PIVOT clause (parser-level pivot, Spark ≥3.4 — the SQL spelling
+    * of the `.pivot()` API already declared in q_agg_pivot): yearly order
+    * counts widen to one column per status. Missing (year, status) cells
+    * come back NULL from PIVOT (an aggregate over no rows), so COALESCE
+    * pins them to 0 to match the oracle's FILTER form, which DuckDB
+    * expresses with ANSI `COUNT(*) FILTER (WHERE …)` — its own PIVOT
+    * syntax differs, and the conditional-aggregate form IS the plan both
+    * engines execute anyway.
+    */
+  val qSqlPivot = QDef(
+    "q_sql_pivot",
+    sqlQ("""
+      SELECT yr, COALESCE(f, 0) AS f, COALESCE(o, 0) AS o, COALESCE(p, 0) AS p
+      FROM (SELECT o_orderstatus, CAST(YEAR(o_orderdate) AS INT) AS yr FROM orders)
+        PIVOT (COUNT(*) FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+      ORDER BY yr"""),
+    Some("""
+      SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p
+      FROM orders GROUP BY 1 ORDER BY yr"""))
+
   val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
     qSqlNestedSet, qSqlLateral, qSqlNatural, qSqlGroupAll, qSqlLateralAlias,
-    qSqlVariant, qSqlRecursive)
+    qSqlVariant, qSqlRecursive, qSqlPivot)
 }

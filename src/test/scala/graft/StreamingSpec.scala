@@ -206,6 +206,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("stream-stream LEFT SEMI join emits each matched purchase once, equals batch") {
+    // semi joins keep symmetric state like inner but project only the left
+    // side and must emit a matched purchase EXACTLY once even when several
+    // clicks fall in its interval — the dedup is the operator's contract
+    val rows = runStream("t_join_semi", OutputMode.Append,
+      df => Streams.purchaseClickJoin(df, "left_semi").select("p_id"), chunked(batchEvents))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.size == rows.distinct.size,
+      s"semi join emitted duplicates: ${rows.size} rows, ${rows.distinct.size} distinct")
+    val ev = Tables.load(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val want = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+        "left_semi")
+      .select("p_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.toSet == want)
+  }
+
   test("streaming session_window (append) emits watermark-closed sessions equal to batch") {
     val sentinel = Event(-1L, new Timestamp(batchEvents.last.ts.getTime + 10L * 24 * 3600 * 1000),
       -999L, "view", 0.0)
