@@ -31,3 +31,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// HiveSpec flips spark.sql.catalogImplementation=hive — a static conf fixed
+// at SparkContext/SharedState creation — so it runs in its own forked JVM,
+// apart from the shared-session suite group (sbt runs the groups serially).
+Test / testGrouping := {
+  val jvmOpts = (Test / javaOptions).value.toVector
+  val (hive, rest) = (Test / definedTests).value.partition(_.name.endsWith("HiveSpec"))
+  Seq(
+    Tests.Group("hive", hive, Tests.SubProcess(ForkOptions().withRunJVMOptions(jvmOpts))),
+    Tests.Group("rest", rest, Tests.SubProcess(ForkOptions().withRunJVMOptions(jvmOpts))),
+  ).filter(_.tests.nonEmpty)
+}
