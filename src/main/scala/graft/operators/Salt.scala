@@ -40,4 +40,33 @@ object Salt {
         sum(col("__psum")).cast("double").as("sum_v"),
         sum(col("__pcnt")).as("cnt"))
   }
+
+  /** Skew-safe equi-join: the BIG (skewed) side gets a deterministic
+    * content-hash salt in [0, buckets); the small side is replicated
+    * `buckets`× via an exploded sequence so every (key, salt) pair finds
+    * its match. A hot key's rows then spread over `buckets` reducers
+    * instead of serializing through one.
+    *
+    * AQE's skew-join split handles sort-merge skew at runtime once stats
+    * expose it; this rewrite is the explicit form for keys KNOWN hot ahead
+    * of time (a default/null key, a celebrity user), and it composes with
+    * any downstream aggregate. Replication multiplies the small side by
+    * `buckets` — reserve it for genuinely small dimensions (if the dim is
+    * broadcast-able, prefer `broadcast()` — a broadcast join has no
+    * shuffle to skew in the first place).
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      buckets: Int = 8,
+      saltSource: Seq[String] = Nil): DataFrame = {
+    val saltCols: Seq[Column] =
+      if (saltSource.nonEmpty) saltSource.map(col) else big.columns.toSeq.map(col)
+    val b = big.withColumn("__salt_b", pmod(hash(saltCols: _*), lit(buckets)))
+    val s = small.withColumn("__salt_s", explode(sequence(lit(0), lit(buckets - 1))))
+    b.join(s, b(bigKey) === s(smallKey) && col("__salt_b") === col("__salt_s"))
+      .drop("__salt_b", "__salt_s")
+  }
 }

@@ -320,6 +320,30 @@ object Agg extends QModule {
       SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders
       ORDER BY o_orderstatus"""))
 
+  /** `mode()` + `median()` aggregates (Spark ≥3.4 surface, SURVEY §2.4).
+    * Median interpolates identically in both engines (DuckDB MEDIAN =
+    * quantile_cont 0.5) so it compares directly. Mode's tie-breaking is
+    * engine-arbitrary, so the query emits the tie-proof contract instead
+    * of the raw value: the returned mode's group count equals the max
+    * group count (TRUE whichever maximal value either engine picked —
+    * same derived-check pattern as q_agg_hllsketch).
+    */
+  private val modeMedianSql = """
+      WITH f AS (
+        SELECT l_returnflag AS g, l_linestatus AS v, COUNT(*) AS c
+        FROM lineitem GROUP BY l_returnflag, l_linestatus),
+      mx AS (SELECT g, MAX(c) AS maxc FROM f GROUP BY g),
+      md AS (
+        SELECT l_returnflag AS g, MODE(l_linestatus) AS mv,
+               MEDIAN(l_quantity) AS med
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT md.g AS flag, md.med AS med, f.c = mx.maxc AS mode_ok
+      FROM md JOIN f ON f.g = md.g AND f.v = md.mv
+      JOIN mx ON mx.g = md.g
+      ORDER BY flag"""
+  val qAggModeMedian =
+    QDef("q_agg_modemedian", sqlQ(modeMedianSql), Some(modeMedianSql))
+
   /** Unpivot (melt) — the inverse of pivot: wide per-nation metrics back to
     * (id, metric, val) long form via the typed `Dataset.unpivot` API. A pure
     * per-row Expand (no shuffle beyond the feeding aggregate); the oracle is
@@ -532,5 +556,5 @@ object Agg extends QModule {
     qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
     qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter, qAggPctWithin,
     qAggRollupDistinct, qAggBitmap, qAggDistinctBitmap, qAggPivotMulti,
-    qAggMaxBy, qAggHllSketch)
+    qAggMaxBy, qAggHllSketch, qAggModeMedian)
 }

@@ -109,6 +109,25 @@ object Extra extends QModule {
              COUNT(*) AS cnt
       FROM lineitem GROUP BY l_suppkey"""))
 
+  /** Skew-salted join — the join-side counterpart of [[qSaltedAgg]]:
+    * lineitem's supplier key salted into 8 buckets, supplier replicated
+    * 8×, so a hot supplier's lines spread over 8 reducers. Identical
+    * result to the plain join (that identity IS the oracle).
+    */
+  val qJoinSalted = QDef(
+    "q_join_salted",
+    (s, d) => Salt.saltedJoin(
+        t(s, d, "lineitem"), t(s, d, "supplier"), "l_suppkey", "s_suppkey",
+        buckets = 8)
+      .groupBy("s_nationkey")
+      .agg(graft.Exact.dsum(col("l_quantity")).as("sum_q"),
+        count(lit(1)).as("cnt")),
+    Some(s"""
+      SELECT s_nationkey, ${graft.Exact.dsumSql("l_quantity")} AS sum_q,
+             COUNT(*) AS cnt
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_nationkey"""))
+
   /** RangeExec as a declared source (not just a spec): `spark.range` is
     * the zero-I/O generator — each partition synthesizes its own slice, so
     * it parallelizes with no input files at all. DuckDB mirrors with
@@ -213,5 +232,5 @@ object Extra extends QModule {
       GROUP BY CASE WHEN c_nationkey = 0 THEN 999 ELSE c_nationkey END"""))
 
   val defs: Seq[QDef] = Seq(qAggWeighted, qMmFeatures, qMmFrames, qTopkPerKey,
-    qTopkAgg, qSaltedAgg, qSrcRange, qSrcCache, qSrcJdbc, qFnNa)
+    qTopkAgg, qSaltedAgg, qJoinSalted, qSrcRange, qSrcCache, qSrcJdbc, qFnNa)
 }

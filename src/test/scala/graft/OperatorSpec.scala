@@ -185,6 +185,20 @@ class OperatorSpec extends SparkSpecBase {
     assert(plain == salted)
   }
 
+  test("salted join equals plain join at any bucket count (incl. degenerate 1)") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val sup = Tables.load(spark, sf, "supplier")
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    for (buckets <- Seq(1, 5)) {
+      val salted = graft.operators.Salt.saltedJoin(li, sup, "l_suppkey", "s_suppkey", buckets)
+        .groupBy("s_nationkey").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(salted == plain, s"buckets=$buckets diverged")
+    }
+  }
+
   test("AQE is active and finalizes plans") {
     val df = SparkEntry.queries("q_join_left")(spark, sf)
     df.count()
