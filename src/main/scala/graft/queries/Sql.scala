@@ -161,7 +161,33 @@ object Sql extends QModule {
              COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p
       FROM orders GROUP BY 1 ORDER BY yr"""))
 
+  /** SQL UNPIVOT clause (parser-level melt, Spark ≥3.4 — the SQL
+    * spelling of the `Dataset.unpivot` API already declared in
+    * q_agg_unpivot): per-nation customer metrics back to long form. The
+    * unpivoted value columns share one type (BIGINT count + exact BIGINT
+    * balance units), as the clause requires. DuckDB's UNPIVOT dialect
+    * differs, so the oracle is the UNION ALL form the clause desugars to.
+    */
+  private val unpivotBase = s"""
+      WITH per_nation AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS cnt,
+               ${graft.Exact.usumSql("c_acctbal", 2)} AS bal_units
+        FROM customer GROUP BY c_nationkey)"""
+  val qSqlUnpivot = QDef(
+    "q_sql_unpivot",
+    sqlQ(s"""
+      $unpivotBase
+      SELECT nk, metric, val
+      FROM per_nation UNPIVOT (val FOR metric IN (cnt, bal_units))
+      ORDER BY nk, metric"""),
+    Some(s"""
+      $unpivotBase
+      SELECT nk, 'cnt' AS metric, cnt AS val FROM per_nation
+      UNION ALL
+      SELECT nk, 'bal_units' AS metric, bal_units AS val FROM per_nation
+      ORDER BY nk, metric"""))
+
   val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
     qSqlNestedSet, qSqlLateral, qSqlNatural, qSqlGroupAll, qSqlLateralAlias,
-    qSqlVariant, qSqlRecursive, qSqlPivot)
+    qSqlVariant, qSqlRecursive, qSqlPivot, qSqlUnpivot)
 }

@@ -300,9 +300,103 @@ object Text extends QModule {
     sqlQ(redactSql("spark")),
     Some(redactSql("duck")))
 
+  /** Corpus n-gram LM quality score — each document's mean trigram
+    * log-probability under the corpus's own trigram frequencies (the
+    * KenLM-style fluency filter, self-trained). The per-gram log-prob is
+    * quantized to fixed-point BIGINT units (FLOOR(ln·1e4)) so the per-doc
+    * sum is EXACT and order-independent — the one float op per gram is a
+    * single correctly-rounded division + ln on identical operands.
+    * Scale: grams partial-aggregate into the freq table; the score join
+    * shuffles on the gram key (a production deployment would broadcast a
+    * top-K-pruned LM instead — same plan shape, smaller build side); the
+    * 1-row total broadcasts. The corpus is never self-joined row-wise.
+    */
+  private def lmScoreSql(dialect: String): String = {
+    val (grams, cnt) = dialect match {
+      case "spark" => (s"explode($triSpark)", "COUNT(*)")
+      case _       => (s"unnest($triDuck)", "CAST(COUNT(*) AS BIGINT)")
+    }
+    s"""
+      WITH grams AS (
+        SELECT doc_id, $grams AS g
+        FROM (SELECT doc_id, ${if (dialect == "spark") "split" else "string_split"}(text, ' ') AS w FROM documents)
+        WHERE ${if (dialect == "spark") "size" else "len"}(w) >= 3),
+      freq AS (SELECT g, $cnt AS c FROM grams GROUP BY g),
+      tot AS (SELECT $cnt AS n FROM grams)
+      SELECT doc_id, $cnt AS n_grams,
+             CAST(SUM(CAST(FLOOR(LN(CAST(c AS DOUBLE) / n) * 1e4) AS BIGINT)) AS BIGINT) AS logp_units
+      FROM grams JOIN freq USING (g) CROSS JOIN tot
+      GROUP BY doc_id"""
+  }
+  val qTextLmScore = QDef(
+    "q_text_lmscore",
+    sqlQ(lmScoreSql("spark")),
+    Some(lmScoreSql("duck")))
+
+  /** Deterministic epoch shuffle + sharding — the training-data ordering
+    * primitive: a pure md5 key of (epoch, doc_id) gives every engine,
+    * retry, and cluster size the same pseudorandom order; the first hex
+    * digit shards into 16 output buckets, and the position within each
+    * shard is a per-shard window (shards scale with the cluster; same
+    * two-pass fallback note as q_text_pack if one shard dominated).
+    */
+  private def shuffleSql(dialect: String): String = {
+    val (pos, str) = dialect match {
+      case "spark" => ("instr", "STRING")
+      case _       => ("strpos", "VARCHAR")
+    }
+    s"""
+      WITH keyed AS (
+        SELECT doc_id, md5(CONCAT('epoch7:', CAST(doc_id AS $str))) AS k
+        FROM documents)
+      SELECT doc_id, k,
+             CAST($pos('0123456789abcdef', substring(k, 1, 1)) - 1 AS INT) AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY substring(k, 1, 1) ORDER BY k, doc_id) AS BIGINT) AS pos_in_shard
+      FROM keyed"""
+  }
+  val qTextShuffle = QDef(
+    "q_text_shuffle",
+    sqlQ(shuffleSql("spark")),
+    Some(shuffleSql("duck")))
+
+  /** Intra-document repetition removal — keep each word's FIRST
+    * occurrence and rebuild the text in original order (the line/
+    * boilerplate dedup step of a C4-style cleaner, at word grain since
+    * the fixture has no newlines). Grouping is per-document, so the
+    * shuffle key is doc_id and state is bounded by document length;
+    * the ordered rebuild is listagg WITHIN GROUP on the first-position
+    * key. Spark posexplode is 0-based, DuckDB indexes 1-based — the
+    * +1 alignment keeps the order keys identical.
+    */
+  private val dedupLinesSpark = """
+      WITH w AS (
+        SELECT doc_id, pos + 1 AS pos, word
+        FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+        LATERAL VIEW posexplode(ws) t AS pos, word),
+      firsts AS (
+        SELECT doc_id, word, MIN(pos) AS p FROM w GROUP BY doc_id, word)
+      SELECT doc_id, COUNT(*) AS n_kept,
+             LISTAGG(word, ' ') WITHIN GROUP (ORDER BY p) AS dedup_text
+      FROM firsts GROUP BY doc_id"""
+  private val dedupLinesDuck = """
+      WITH w AS (
+        SELECT doc_id, CAST(g AS INT) AS pos, ws[CAST(g AS INT)] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             UNNEST(range(1, len(ws) + 1)) AS t(g)),
+      firsts AS (
+        SELECT doc_id, word, MIN(pos) AS p FROM w GROUP BY doc_id, word)
+      SELECT doc_id, COUNT(*) AS n_kept,
+             STRING_AGG(word, ' ' ORDER BY p) AS dedup_text
+      FROM firsts GROUP BY doc_id"""
+  val qTextDedupLines = QDef(
+    "q_text_deduplines",
+    sqlQ(dedupLinesSpark),
+    Some(dedupLinesDuck))
+
   val defs: Seq[QDef] = Seq(
     qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
     qTextRepetition, qTextNgramFreq, qTextChunks, qTextPack, qTextDecontam,
-    qTextRedact)
+    qTextRedact, qTextLmScore, qTextShuffle, qTextDedupLines)
 }
 
