@@ -639,4 +639,32 @@ class OperatorSpec extends SparkSpecBase {
       assert(scans == 1, s"$n re-scans the fact ($scans scans):\n$s")
     }
   }
+
+  test("TPC-DS batch-4 shapes: INTERSECT legs push flag filters, EXISTS decorrelates, grains pre-aggregate") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q14: each INTERSECT leg is a pushed-filter scan feeding semi joins
+    // on the part key — the fact is never cartesian'd or re-shuffled whole
+    val s14 = plan("q_tpcds_q14")
+    assert(s14.contains("LeftSemi"), s"Q14 INTERSECT lost the semi joins:\n$s14")
+    assert(s14.linesIterator.count(_.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag")) >= 3,
+      s"Q14 legs did not push the flag filters to the scans:\n$s14")
+    assert(!s14.contains("CartesianProduct"), s"Q14 degraded:\n$s14")
+    // Q95: both EXISTS decorrelate to semi joins on l_orderkey
+    val s95 = plan("q_tpcds_q95")
+    assert(s95.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      s"Q95 EXISTS pair did not both decorrelate:\n$s95")
+    // Q78: both channels aggregate to the (customer, year) grain BEFORE
+    // the left join — the join never sees fact-grain rows
+    val s78 = plan("q_tpcds_q78")
+    val joinAt = s78.linesIterator.indexWhere(l =>
+      l.contains("SortMergeJoin") && l.contains("LeftOuter"))
+    val aggsBefore = s78.linesIterator.drop(joinAt).count(_.contains("HashAggregate"))
+    assert(joinAt >= 0 && aggsBefore >= 2,
+      s"Q78 joined before aggregating to the grain:\n$s78")
+    // salted join: the replicated supplier side broadcasts (no shuffle
+    // added by the salt) and the plain-join identity holds by oracle
+    val sj = plan("q_join_salted")
+    assert(sj.contains("BroadcastHashJoin"), s"salted join lost the broadcast:\n$sj")
+  }
 }
