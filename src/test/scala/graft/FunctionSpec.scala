@@ -185,6 +185,19 @@ class FunctionSpec extends SparkSpecBase {
       s"param binding mismatch: named=$named positional=$positional want=$want")
   }
 
+  test("IDENTIFIER clause resolves table and column names from strings/parameters") {
+    Tables.register(spark, sf)
+    // templated-DDL/query safety surface: names come in as VALUES, not
+    // string-spliced SQL — the injection-proof dynamic-identifier path
+    val lit = spark.sql("SELECT COUNT(*) AS n FROM IDENTIFIER('nation')").head.getLong(0)
+    val bound = spark.sql(
+      "SELECT COUNT(DISTINCT IDENTIFIER(:col)) AS n FROM IDENTIFIER(:tbl)",
+      Map("col" -> "n_regionkey", "tbl" -> "nation")).head.getLong(0)
+    assert(lit == Tables.load(spark, sf, "nation").count())
+    assert(bound ==
+      Tables.load(spark, sf, "nation").select("n_regionkey").distinct.count())
+  }
+
   test("typed joinWith and reduceGroups match their untyped equivalents") {
     import spark.implicits._
     val orders = Tables.load(spark, sf, "orders")

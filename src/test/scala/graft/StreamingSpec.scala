@@ -206,6 +206,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("StreamingQueryListener observes start, per-batch row counts, and termination") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    // the ops-monitoring surface a production pipeline wires to metrics:
+    // every declared streaming graph emits progress rows through this API
+    val started = new java.util.concurrent.atomic.AtomicInteger
+    val terminated = new java.util.concurrent.atomic.AtomicInteger
+    val inputRows = new java.util.concurrent.atomic.AtomicLong
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = started.incrementAndGet()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        inputRows.addAndGet(e.progress.numInputRows)
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        terminated.incrementAndGet()
+    }
+    spark.streams.addListener(listener)
+    try {
+      runStream("t_listener", OutputMode.Append,
+        df => df.select("event_id"), chunked(batchEvents.take(64)))
+      // listener events are delivered asynchronously after stop()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while ((started.get == 0 || terminated.get == 0 || inputRows.get < 64) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(started.get >= 1, "no QueryStartedEvent")
+      assert(terminated.get >= 1, "no QueryTerminatedEvent")
+      assert(inputRows.get == 64,
+        s"progress row counts must sum to the input size, got ${inputRows.get}")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("stream-stream LEFT SEMI join emits each matched purchase once, equals batch") {
     // semi joins keep symmetric state like inner but project only the left
     // side and must emit a matched purchase EXACTLY once even when several
