@@ -54,6 +54,15 @@ object Salt {
     * `buckets` — reserve it for genuinely small dimensions (if the dim is
     * broadcast-able, prefer `broadcast()` — a broadcast join has no
     * shuffle to skew in the first place).
+    *
+    * The default salt hashes EVERY big-side column: content-deterministic
+    * (retry/engine-stable), but it spreads nothing when the hot key's rows
+    * are bit-identical duplicates (one content hash → one bucket), and it
+    * pays to hash wide payload columns. When a cheaper or
+    * duplicate-distinguishing column exists (a line number, an event id),
+    * pass it as `saltSource` — fully identical rows are only spreadable by
+    * POSITION, which no content-deterministic salt can do by construction
+    * (dedup them first, or accept nondeterministic salting explicitly).
     */
   def saltedJoin(
       big: DataFrame,

@@ -301,32 +301,43 @@ object Text extends QModule {
     Some(redactSql("duck")))
 
   /** Corpus n-gram LM quality score — each document's mean trigram
-    * log-probability under the corpus's own trigram frequencies (the
-    * KenLM-style fluency filter, self-trained). The per-gram log-prob is
-    * quantized to fixed-point BIGINT units (FLOOR(ln·1e4)) so the per-doc
-    * sum is EXACT and order-independent — the one float op per gram is a
-    * single correctly-rounded division + ln on identical operands.
+    * log-frequency under the corpus's own trigram counts (the KenLM-style
+    * fluency filter, self-trained). Each gram contributes its INTEGER
+    * log2 bucket `FLOOR(LOG2(c))`: for integer c, log2 is either exact (a
+    * power of two) or at least 1/(c·ln2) away from the nearest integer —
+    * orders of magnitude beyond double rounding for any c < 2^53 — so the
+    * bucket can NEVER flip between engines, unlike a fixed-point
+    * quantization of ln(c/n), where a 1-ulp transcendental difference
+    * near a quantization boundary could. The per-doc sum of BIGINT
+    * buckets is exact and merge-order independent; `score_mb` is the mean
+    * bucket in millibits relative to the corpus-size bucket (all-integer
+    * arithmetic on positive operands, so DIV and // agree).
     * Scale: grams partial-aggregate into the freq table; the score join
     * shuffles on the gram key (a production deployment would broadcast a
     * top-K-pruned LM instead — same plan shape, smaller build side); the
     * 1-row total broadcasts. The corpus is never self-joined row-wise.
     */
   private def lmScoreSql(dialect: String): String = {
-    val (grams, cnt) = dialect match {
-      case "spark" => (s"explode($triSpark)", "COUNT(*)")
-      case _       => (s"unnest($triDuck)", "CAST(COUNT(*) AS BIGINT)")
+    val (grams, cnt, idiv) = dialect match {
+      case "spark" => (s"explode($triSpark)", "COUNT(*)", "DIV")
+      case _       => (s"unnest($triDuck)", "CAST(COUNT(*) AS BIGINT)", "//")
     }
     s"""
       WITH grams AS (
         SELECT doc_id, $grams AS g
         FROM (SELECT doc_id, ${if (dialect == "spark") "split" else "string_split"}(text, ' ') AS w FROM documents)
         WHERE ${if (dialect == "spark") "size" else "len"}(w) >= 3),
-      freq AS (SELECT g, $cnt AS c FROM grams GROUP BY g),
-      tot AS (SELECT $cnt AS n FROM grams)
+      freq AS (
+        SELECT g, CAST(FLOOR(LOG2(CAST($cnt AS DOUBLE))) AS BIGINT) AS lb
+        FROM grams GROUP BY g),
+      tot AS (
+        SELECT CAST(FLOOR(LOG2(CAST($cnt AS DOUBLE))) AS BIGINT) AS corpus_lb
+        FROM grams)
       SELECT doc_id, $cnt AS n_grams,
-             CAST(SUM(CAST(FLOOR(LN(CAST(c AS DOUBLE) / n) * 1e4) AS BIGINT)) AS BIGINT) AS logp_units
+             CAST(SUM(lb) AS BIGINT) AS lb_sum,
+             CAST((CAST(SUM(lb) AS BIGINT) * 1000) $idiv ($cnt) - 1000 * corpus_lb AS BIGINT) AS score_mb
       FROM grams JOIN freq USING (g) CROSS JOIN tot
-      GROUP BY doc_id"""
+      GROUP BY doc_id, corpus_lb"""
   }
   val qTextLmScore = QDef(
     "q_text_lmscore",

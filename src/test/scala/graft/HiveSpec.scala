@@ -43,7 +43,16 @@ class HiveSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def sf: String = TestSession.sf
   private def nation = Tables.load(spark, sf, "nation")
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    spark.stop()
+    // embedded Derby + warehouse live under `base` — drop the whole tree
+    // (multi-MB per run on a multi-tenant box otherwise)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+  }
 
   test("session uses a real Hive external catalog") {
     assert(spark.conf.get("spark.sql.catalogImplementation") == "hive")
@@ -94,11 +103,14 @@ class HiveSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("metastore persists tables and ANALYZE stats across sessions") {
-    spark.sql("ANALYZE TABLE hive_nation COMPUTE STATISTICS")
+    // self-contained (no dependence on earlier tests' tables)
+    spark.sql("CREATE TABLE hive_stats (k BIGINT) STORED AS PARQUET")
+    spark.sql("INSERT INTO hive_stats VALUES (1), (2), (3)")
+    spark.sql("ANALYZE TABLE hive_stats COMPUTE STATISTICS")
     val s2 = spark.newSession()
-    assert(s2.catalog.tableExists("hive_nation"))
+    assert(s2.catalog.tableExists("hive_stats"))
     val stats =
-      s2.sessionState.catalog.getTableMetadata(TableIdentifier("hive_nation")).stats
-    assert(stats.exists(_.rowCount.exists(_.toLong == nation.count())))
+      s2.sessionState.catalog.getTableMetadata(TableIdentifier("hive_stats")).stats
+    assert(stats.exists(_.rowCount.exists(_.toLong == 3L)))
   }
 }
