@@ -187,7 +187,30 @@ object Sql extends QModule {
       SELECT nk, 'bal_units' AS metric, bal_units AS val FROM per_nation
       ORDER BY nk, metric"""))
 
+  /** SQL-defined scalar UDF (Spark ≥4.0 `CREATE FUNCTION … RETURN expr`) —
+    * the catalog-managed way users package business expressions without
+    * JVM code. The analyzer INLINES the body into the plan, so the exact
+    * unit-sum arithmetic, codegen, and pushdown all still apply — the
+    * oracle is the same query with the body substituted by hand, and the
+    * hash match proves the inlining is semantics-preserving.
+    */
+  val qSqlUdf = QDef(
+    "q_sql_udf",
+    (s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, dsc DOUBLE)
+               RETURNS DOUBLE RETURN p * (1 - dsc)""")
+      s.sql(s"""
+        SELECT l_returnflag,
+               CAST(${graft.Exact.usumSql("net_price(l_extendedprice, l_discount)", 4)} AS DOUBLE) / 1e4 AS net_rev
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some(s"""
+      SELECT l_returnflag,
+             CAST(${graft.Exact.usumSql("l_extendedprice * (1 - l_discount)", 4)} AS DOUBLE) / 1e4 AS net_rev
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
     qSqlNestedSet, qSqlLateral, qSqlNatural, qSqlGroupAll, qSqlLateralAlias,
-    qSqlVariant, qSqlRecursive, qSqlPivot, qSqlUnpivot)
+    qSqlVariant, qSqlRecursive, qSqlPivot, qSqlUnpivot, qSqlUdf)
 }

@@ -185,6 +185,19 @@ class FunctionSpec extends SparkSpecBase {
       s"param binding mismatch: named=$named positional=$positional want=$want")
   }
 
+  test("SQL session variables: DECLARE, SET VAR, and reference in a query") {
+    Tables.register(spark, sf)
+    spark.sql("DECLARE OR REPLACE VARIABLE lo DOUBLE DEFAULT 300000.0")
+    spark.sql("SET VAR lo = 250000.0")
+    val n = spark.sql("SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > lo")
+      .head.getLong(0)
+    assert(n == Tables.load(spark, sf, "orders")
+      .filter(col("o_totalprice") > 250000.0).count())
+    // variables resolve under their qualified name too
+    val q = spark.sql("SELECT system.session.lo AS v").head.getDouble(0)
+    assert(q == 250000.0)
+  }
+
   test("IDENTIFIER clause resolves table and column names from strings/parameters") {
     Tables.register(spark, sf)
     // templated-DDL/query safety surface: names come in as VALUES, not
