@@ -110,5 +110,31 @@ object Tpcds4 extends QModule {
       ORDER BY n_name"""
   val qTpcdsQ35 = QDef("q_tpcds_q35", sqlQ(q35Sql), Some(q35Sql))
 
-  val defs: Seq[QDef] = Seq(qTpcdsQ14, qTpcdsQ95, qTpcdsQ78, qTpcdsQ35)
+  /** TPC-DS Q49 shape: "worst return ratios by channel" — per (channel,
+    * item) exact quantity sums, return ratio ranked WITHIN each channel,
+    * top-10 per channel kept and channels unioned by the shared window.
+    * The rank runs on the (channel × item) grain — item is a dimension,
+    * so the window input is catalog-bounded like Q67's brand grain, never
+    * fact-grain. The ratio divides two exact BIGINTs (one correctly-
+    * rounded double op, identical in both engines) and the item key
+    * breaks every ordering tie deterministically.
+    */
+  private val q49Sql = s"""
+      WITH by_chan AS (
+        SELECT l_linestatus AS chan, l_partkey AS item,
+               ${Exact.usumSql("CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END", 0)} AS ret_q,
+               ${Exact.usumSql("l_quantity", 0)} AS tot_q
+        FROM lineitem GROUP BY l_linestatus, l_partkey),
+      ranked AS (
+        SELECT chan, item, ret_q, tot_q,
+               RANK() OVER (PARTITION BY chan
+                            ORDER BY CAST(ret_q AS DOUBLE) / tot_q DESC, item) AS rk
+        FROM by_chan)
+      SELECT chan, item, ret_q, tot_q, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 10
+      ORDER BY chan, rk"""
+  val qTpcdsQ49 = QDef("q_tpcds_q49", sqlQ(q49Sql), Some(q49Sql))
+
+  val defs: Seq[QDef] = Seq(qTpcdsQ14, qTpcdsQ95, qTpcdsQ78, qTpcdsQ35,
+    qTpcdsQ49)
 }
