@@ -328,14 +328,16 @@ object Text extends QModule {
         FROM (SELECT doc_id, ${if (dialect == "spark") "split" else "string_split"}(text, ' ') AS w FROM documents)
         WHERE ${if (dialect == "spark") "size" else "len"}(w) >= 3),
       freq AS (
-        SELECT g, CAST(FLOOR(LOG2(CAST($cnt AS DOUBLE))) AS BIGINT) AS lb
-        FROM grams GROUP BY g),
+        SELECT g, $cnt AS c FROM grams GROUP BY g),
       tot AS (
-        SELECT CAST(FLOOR(LOG2(CAST($cnt AS DOUBLE))) AS BIGINT) AS corpus_lb
-        FROM grams)
+        -- corpus gram total from the ALREADY-AGGREGATED freq table
+        -- (SUM of per-gram counts), not a third scan+explode of the corpus
+        SELECT CAST(FLOOR(LOG2(CAST(SUM(c) AS DOUBLE))) AS BIGINT) AS corpus_lb
+        FROM freq)
       SELECT doc_id, $cnt AS n_grams,
-             CAST(SUM(lb) AS BIGINT) AS lb_sum,
-             CAST((CAST(SUM(lb) AS BIGINT) * 1000) $idiv ($cnt) - 1000 * corpus_lb AS BIGINT) AS score_mb
+             CAST(SUM(CAST(FLOOR(LOG2(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS lb_sum,
+             CAST((CAST(SUM(CAST(FLOOR(LOG2(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) * 1000)
+                    $idiv ($cnt) - 1000 * corpus_lb AS BIGINT) AS score_mb
       FROM grams JOIN freq USING (g) CROSS JOIN tot
       GROUP BY doc_id, corpus_lb"""
   }

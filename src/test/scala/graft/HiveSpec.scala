@@ -67,10 +67,16 @@ class HiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.table("hive_nation")
     // the catalog entry is a hive-format table; the analyzer's
     // RelationConversions rule then swaps the HiveTableRelation for the
-    // native vectorized parquet scan (the production default)
+    // native vectorized parquet scan (the production default) — so the
+    // analyzed plan must NOT retain a HiveTableRelation and execution
+    // must hit the native FileScan (a bare "parquet" substring match
+    // would be satisfied by ParquetHiveSerDe's class name even when the
+    // conversion does not fire)
     assert(spark.sessionState.catalog
       .getTableMetadata(TableIdentifier("hive_nation")).provider == Some("hive"))
-    assert(df.queryExecution.analyzed.toString.contains("parquet"))
+    assert(!df.queryExecution.analyzed.toString.contains("HiveTableRelation"),
+      "metastore-parquet conversion did not fire")
+    assert(df.queryExecution.executedPlan.toString.contains("FileScan parquet"))
     assert(df.count() == nation.count())
     assert(df.agg(sum("n_nationkey")).head.getLong(0) ==
       nation.agg(sum("n_nationkey")).head.getLong(0))
@@ -97,8 +103,11 @@ class HiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nParts = spark.sql("SHOW PARTITIONS hive_part").count()
     assert(nParts == nation.select("n_regionkey").distinct.count())
     val one = spark.table("hive_part").filter(col("r") === 0L)
-    // metastore partition pruning reaches the scan as a PartitionFilter
-    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // metastore partition pruning reaches the scan as a NON-EMPTY
+    // PartitionFilters entry (every partitioned scan prints the header,
+    // so matching the bare word would never fail)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(r"),
+      s"partition filter not pushed:\n${one.queryExecution.executedPlan}")
     assert(one.count() == nation.filter(col("n_regionkey") === 0L).count())
   }
 

@@ -214,12 +214,18 @@ class StreamingSpec extends SparkSpecBase {
     val started = new java.util.concurrent.atomic.AtomicInteger
     val terminated = new java.util.concurrent.atomic.AtomicInteger
     val inputRows = new java.util.concurrent.atomic.AtomicLong
+    // scope every event to THIS query (by name / its runIds): the shared
+    // session's listener bus may still deliver queued events of earlier
+    // streams after addListener, and the terminated event carries only
+    // the runId
+    val runIds = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     val listener = new StreamingQueryListener {
-      override def onQueryStarted(e: QueryStartedEvent): Unit = started.incrementAndGet()
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        if (e.name == "t_listener") { runIds.add(e.runId); started.incrementAndGet() }
       override def onQueryProgress(e: QueryProgressEvent): Unit =
-        inputRows.addAndGet(e.progress.numInputRows)
+        if (e.progress.name == "t_listener") inputRows.addAndGet(e.progress.numInputRows)
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        terminated.incrementAndGet()
+        if (runIds.contains(e.runId)) terminated.incrementAndGet()
     }
     spark.streams.addListener(listener)
     try {
