@@ -98,4 +98,43 @@ object AsOf {
       out: String,
       toleranceUs: Long): DataFrame =
     joinCore(left, right, key, leftTs, rightTs, rightVal, out, Some(toleranceUs))
+
+  /** Forward as-of (pandas merge_asof `direction='forward'`): for every
+    * row of `left`, attach `rightVal` from the EARLIEST right row with
+    * the same `key` and `right.ts >= left.ts` (inclusive). Same
+    * single-shuffle union+window plan as [[joinLast]], mirrored: the
+    * frame looks currentRow→unboundedFollowing, and at equal timestamps
+    * the LEFT row sorts first so an equal-ts right row is inside the
+    * frame. Among right rows sharing (key, ts), the LEAST `rightVal`
+    * wins (`__v` is the final ascending sort key) — deterministic under
+    * any partitioning, the mirror image of [[joinLast]]'s greatest-wins.
+    * A right row whose value is null still counts as the match (the
+    * struct carry, as in joinCore) — `out` is then null, not the next
+    * non-null value.
+    */
+  def joinNext(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightVal: String,
+      out: String): DataFrame = {
+    val leftCols = left.columns
+    val l2 = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__v", lit(null).cast(right.schema(rightVal).dataType))
+    val r2 = right.select(
+      col(key), col(rightTs).as("__t"), lit(1).as("__side"), col(rightVal).as("__v"))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__v"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("__pair",
+        first(when(col("__side") === 1, struct(col("__t").as("t"), col("__v").as("v"))),
+          ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .withColumn(out, col("__pair.v"))
+      .select(leftCols.map(col) :+ col(out): _*)
+  }
 }

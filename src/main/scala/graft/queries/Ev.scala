@@ -140,6 +140,25 @@ object Ev extends QModule {
         (list(event_id ORDER BY epoch_us(ts), event_id))[1] AS first_id
       FROM events GROUP BY user_id, event_type"""))
 
+  /** Tumbling window with a startTime OFFSET (the 4-arg `window()` form):
+    * hourly buckets aligned to :15 past the hour — the alignment knob for
+    * business-day/timezone boundaries that don't sit on the epoch grid.
+    * The oracle mirrors the bucketing arithmetically: shift by the
+    * offset, hour-bucket, shift back (which IS the operator's definition,
+    * so the hash match pins the alignment semantics exactly).
+    */
+  val qEvOffset = QDef(
+    "q_ev_offset",
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("cnt")),
+    Some("""
+      SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts - INTERVAL '15 minutes'))
+               + 900000000 AS ws_us,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1"""))
+
   val defs: Seq[QDef] = Seq(qEvTumbling, qEvSliding, qEvSession,
-    qEvSessionDyn, qEvFirst)
+    qEvSessionDyn, qEvFirst, qEvOffset)
 }

@@ -191,6 +191,29 @@ object Joins extends QModule {
                 AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR) AS last_click_us
       FROM events p WHERE p.event_type = 'purchase'"""))
 
+  /** Forward as-of join: each purchase attached to the user's NEXT click
+    * at-or-after it (pandas merge_asof direction='forward',
+    * [[AsOf.joinNext]]) — the "time-to-next-action" primitive, same
+    * single-shuffle plan as the backward form.
+    */
+  val qJoinAsofFwd = QDef(
+    "q_join_asof_fwd",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("click_us"))
+      AsOf.joinNext(purchases, clicks, "user_id", "ts", "ts", "click_us", "next_click_us")
+        .select("event_id", "next_click_us")
+    },
+    Some("""
+      SELECT p.event_id,
+             (SELECT epoch_us(MIN(c.ts)) FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                AND c.ts >= p.ts) AS next_click_us
+      FROM events p WHERE p.event_type = 'purchase'"""))
+
   /** Range (interval) join via bucketed equi-join: candidates meet on
     * (user, 10-min bucket) ∪ (user, bucket+1), then the exact range filter
     * — shuffle-friendly; candidate fan-out is bounded by bucket width.
@@ -225,5 +248,6 @@ object Joins extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinMulti, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi,
-    qJoinAnti, qJoinCross, qJoinTheta, qJoinAsof, qJoinAsofTol, qJoinRange)
+    qJoinAnti, qJoinCross, qJoinTheta, qJoinAsof, qJoinAsofTol, qJoinAsofFwd,
+    qJoinRange)
 }

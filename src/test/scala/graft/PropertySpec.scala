@@ -67,6 +67,36 @@ class PropertySpec extends SparkSpecBase {
     }, cases = 8)
   }
 
+  test("AsOf.joinNext matches the brute-force forward lookup") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 20L); v <- Gen.choose(-50L, 50L)
+    } yield (k, t, v.toDouble)
+    val gen = for {
+      ls <- Gen.nonEmptyListOf(rowGen)
+      rs <- Gen.listOf(rowGen)
+    } yield (ls, rs)
+    check("asof_fwd", Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.toDF("k", "rts", "rv")
+      val got = operators.AsOf
+        .joinNext(left, right, "k", "ts", "rts", "rv", "next_v")
+        .select("lid", "next_v")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val want = ls.zipWithIndex.map { case ((k, t, _), i) =>
+        val cands = rs.filter(r => r._1 == k && r._2 >= t)
+        // earliest rts wins; at equal rts the LEAST value wins (the
+        // mirror of joinLast's greatest-wins tie rule)
+        i.toLong -> (if (cands.isEmpty) None
+                     else Some(cands.minBy(r => (r._2, r._3))._3))
+      }.toMap
+      got == want
+    }, cases = 8)
+  }
+
   test("AsOf.joinLastWithin nulls exactly the stale matches (merge_asof tolerance)") {
     import spark.implicits._
     val rowGen = for {
