@@ -99,6 +99,59 @@ object AsOf {
       toleranceUs: Long): DataFrame =
     joinCore(left, right, key, leftTs, rightTs, rightVal, out, Some(toleranceUs))
 
+  /** Nearest as-of (pandas merge_asof `direction='nearest'`): for every
+    * left row, the right row with the same `key` whose timestamp is
+    * CLOSEST in either direction; at equal distance the backward (prior)
+    * match wins. One union, ONE exchange, one sort — the backward and
+    * forward candidates are two window frames over the SAME sorted
+    * partition (no second shuffle), then a scalar distance compare picks
+    * the winner. Under the backward sort order an equal-ts right row is
+    * only in the backward frame — correct, because distance 0 always
+    * wins and ties prefer backward. Tie rules within a side match
+    * [[joinLast]] (greatest value at equal prior ts) and the strict-
+    * after mirror (least value at equal later ts).
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightVal: String,
+      out: String): DataFrame = {
+    val leftCols = left.columns
+    val l2 = left
+      .withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(rightVal).dataType))
+    val r2 = right.select(
+      col(key), col(rightTs).as("__t"), lit(0).as("__side"), col(rightVal).as("__v"))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val order = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__v"))
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def units(c: Column) =
+      left.schema(leftTs).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+    val rightStruct =
+      when(col("__side") === 0, struct(col("__t").as("t"), col("__v").as("v")))
+    val matched = u
+      .withColumn("__b", last(rightStruct, ignoreNulls = true).over(back))
+      .withColumn("__f", first(rightStruct, ignoreNulls = true).over(fwd))
+      .filter(col("__side") === 1)
+    val bDist = units(col("__t")) - units(col("__b.t"))
+    val fDist = units(col("__f.t")) - units(col("__t"))
+    val value = when(col("__b").isNull, col("__f.v"))
+      .when(col("__f").isNull, col("__b.v"))
+      .when(fDist < bDist, col("__f.v"))
+      .otherwise(col("__b.v")) // covers bDist <= fDist: equal distance → backward
+    matched.withColumn(out, value)
+      .select(leftCols.map(col) :+ col(out): _*)
+  }
+
   /** Forward as-of (pandas merge_asof `direction='forward'`): for every
     * row of `left`, attach `rightVal` from the EARLIEST right row with
     * the same `key` and `right.ts >= left.ts` (inclusive). Same

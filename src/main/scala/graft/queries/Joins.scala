@@ -214,6 +214,34 @@ object Joins extends QModule {
                 AND c.ts >= p.ts) AS next_click_us
       FROM events p WHERE p.event_type = 'purchase'"""))
 
+  /** Nearest as-of join: each purchase attached to the user's click
+    * CLOSEST in time in either direction, ties to the prior click
+    * (pandas merge_asof direction='nearest', [[AsOf.joinNearest]]) —
+    * both direction candidates come from two frames over ONE sorted
+    * exchange. Oracle: correlated min-distance lookup with the same
+    * backward tiebreak.
+    */
+  val qJoinAsofNear = QDef(
+    "q_join_asof_near",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("click_us"))
+      AsOf.joinNearest(purchases, clicks, "user_id", "ts", "ts", "click_us",
+          "near_click_us")
+        .select("event_id", "near_click_us")
+    },
+    Some("""
+      SELECT p.event_id,
+             (SELECT epoch_us(c.ts) FROM events c
+              WHERE c.event_type = 'click' AND c.user_id = p.user_id
+              ORDER BY ABS(epoch_us(c.ts) - epoch_us(p.ts)),
+                       (CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END)
+              LIMIT 1) AS near_click_us
+      FROM events p WHERE p.event_type = 'purchase'"""))
+
   /** Range (interval) join via bucketed equi-join: candidates meet on
     * (user, 10-min bucket) ∪ (user, bucket+1), then the exact range filter
     * — shuffle-friendly; candidate fan-out is bounded by bucket width.
@@ -249,5 +277,5 @@ object Joins extends QModule {
   val defs: Seq[QDef] = Seq(
     qJoinInner, qJoinMulti, qJoinLeft, qJoinRight, qJoinFull, qJoinSemi,
     qJoinAnti, qJoinCross, qJoinTheta, qJoinAsof, qJoinAsofTol, qJoinAsofFwd,
-    qJoinRange)
+    qJoinAsofNear, qJoinRange)
 }

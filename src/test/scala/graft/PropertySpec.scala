@@ -97,6 +97,47 @@ class PropertySpec extends SparkSpecBase {
     }, cases = 8)
   }
 
+  test("AsOf.joinNearest matches the brute-force min-distance lookup, ties to backward") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 20L); v <- Gen.choose(-50L, 50L)
+    } yield (k, t, v.toDouble)
+    val gen = for {
+      ls <- Gen.nonEmptyListOf(rowGen)
+      rs <- Gen.listOf(rowGen)
+    } yield (ls, rs)
+    check("asof_near", Prop.forAll(gen) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right = rs.toDF("k", "rts", "rv")
+      val got = operators.AsOf
+        .joinNearest(left, right, "k", "ts", "rts", "rv", "near_v")
+        .select("lid", "near_v")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      val want = ls.zipWithIndex.map { case ((k, t, _), i) =>
+        // backward candidate: latest prior ts, greatest v on equal ts;
+        // forward candidate: earliest STRICTLY-later ts, least v on
+        // equal ts (equal-ts rights are distance-0 backward matches);
+        // equal distance -> backward
+        val backC = rs.filter(r => r._1 == k && r._2 <= t) match {
+          case Nil => None; case cs => Some(cs.maxBy(r => (r._2, r._3)))
+        }
+        val fwdC = rs.filter(r => r._1 == k && r._2 > t) match {
+          case Nil => None; case cs => Some(cs.minBy(r => (r._2, r._3)))
+        }
+        val pick = (backC, fwdC) match {
+          case (None, f) => f
+          case (b, None) => b
+          case (Some(b), Some(f)) => if (f._2 - t < t - b._2) Some(f) else Some(b)
+        }
+        i.toLong -> pick.map(_._3)
+      }.toMap
+      got == want
+    }, cases = 8)
+  }
+
   test("AsOf.joinLastWithin nulls exactly the stale matches (merge_asof tolerance)") {
     import spark.implicits._
     val rowGen = for {
