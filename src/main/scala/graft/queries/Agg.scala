@@ -509,13 +509,18 @@ object Agg extends QModule {
     * row: without the tie-breaker, two orders sharing a total price would
     * make the builtin's answer engine/partitioning-dependent and the hash
     * gate flaky — the same determinism rule as every top-k in this repo.
+    * Pack bounds (same style as q_agg_distinct_bitmap's 2^32 note): the
+    * 10^10 multiplier is valid while o_orderkey < 10^10 (TPC-H sparse
+    * keys reach 6M·sf — safe to sf ≈ 1,600) and price units < 9.2·10^8
+    * ($9.2M; TPC-H tops out near $600k). Either bound breaking overflows
+    * BIGINT or collides pairs — widen to a struct ordering key then.
     */
   private def maxBySql(dialect: String): String = {
     val (mx, mn) = dialect match {
       case "spark" => ("MAX_BY", "MIN_BY")
       case _       => ("arg_max", "arg_min")
     }
-    val key = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey"
+    val key = "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000000 + o_orderkey"
     s"""
       SELECT o_orderstatus,
              $mx(o_orderkey, $key) AS priciest_order,

@@ -184,11 +184,33 @@ object Extra extends QModule {
     * the oracle. The key-bounds lookup is a 1-row metadata action, same
     * as any production bounds probe.
     */
+  /** Embedded-Derby scratch area, initialized ONCE per JVM (ADVICE r5):
+    * the base dir exists before `derby.stream.error.file` is set (Derby
+    * reads the property at engine boot and silently drops the log when
+    * its parent is missing), the global property is set at setup rather
+    * than inside a query function, and a shutdown hook removes the db
+    * tree — deletion can't happen in the query fn because the returned
+    * DataFrame reads the db lazily, AFTER the fn returns (mirrors
+    * HiveSpec's afterAll cleanup for its Derby metastore).
+    */
+  private lazy val jdbcBase: String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-jdbc-${ProcessHandle.current().pid()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    System.setProperty("derby.stream.error.file", s"$base/derby.log")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+    base
+  }
+
   val qSrcJdbc = QDef(
     "q_src_jdbc",
     (s, d) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft-jdbc-${ProcessHandle.current().pid()}"
-      System.setProperty("derby.stream.error.file", s"$base/derby.log")
+      val base = jdbcBase
       val url = s"jdbc:derby:$base/db;create=true"
       val props = new java.util.Properties()
       val cust = t(s, d, "customer").select("c_custkey", "c_nationkey", "c_acctbal")

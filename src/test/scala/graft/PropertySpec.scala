@@ -208,6 +208,10 @@ class PropertySpec extends SparkSpecBase {
       val got = operators.Components
         .labelPropagate(edges.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the star-contraction variant must produce the identical labeling
+      val gotStar = operators.Components
+        .labelPropagate(edges.toDF("a", "b"), "a", "b", star = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // brute force: iterate min-neighbor closure on the driver to fixpoint
       val sym = (edges ++ edges.map(_.swap)).toSet
       val nodes = sym.flatMap(e => Set(e._1, e._2))
@@ -221,7 +225,7 @@ class PropertySpec extends SparkSpecBase {
         changed = next != lbl
         lbl = next
       }
-      got == lbl
+      got == lbl && gotStar == lbl
     }, cases = 6)
   }
 
