@@ -31,14 +31,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// HiveSpec flips spark.sql.catalogImplementation=hive — a static conf fixed
-// at SparkContext/SharedState creation — so it runs in its own forked JVM,
-// apart from the shared-session suite group (sbt runs the groups serially).
+// Suites that need their own SparkContext run in their own forked JVM,
+// apart from the shared-session suite group (sbt runs the groups serially):
+// HiveSpec + ThriftServerSpec flip spark.sql.catalogImplementation=hive (a
+// static conf fixed at SharedState creation), RetrySpec needs a
+// local[4,2] master (task retries — maxFailures is a context property).
+val ownJvmSuites = Seq("HiveSpec", "ThriftServerSpec", "RetrySpec")
 Test / testGrouping := {
   val jvmOpts = (Test / javaOptions).value.toVector
-  val (hive, rest) = (Test / definedTests).value.partition(_.name.endsWith("HiveSpec"))
-  Seq(
-    Tests.Group("hive", hive, Tests.SubProcess(ForkOptions().withRunJVMOptions(jvmOpts))),
-    Tests.Group("rest", rest, Tests.SubProcess(ForkOptions().withRunJVMOptions(jvmOpts))),
-  ).filter(_.tests.nonEmpty)
+  val (own, rest) = (Test / definedTests).value
+    .partition(t => ownJvmSuites.exists(t.name.endsWith))
+  (own.map(t => Tests.Group(t.name, Seq(t),
+    Tests.SubProcess(ForkOptions().withRunJVMOptions(jvmOpts)))) :+
+    Tests.Group("rest", rest,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(jvmOpts))))
+    .filter(_.tests.nonEmpty)
 }

@@ -38,6 +38,18 @@ object Tables {
   /** Drop this session's plan memo (nothing persisted — no blocks to free). */
   def clear(spark: SparkSession): Unit = sessions.remove(spark)
 
+  /** Test seam: pre-seed the plan memo (and force view re-registration) so
+    * a spec can interpose a wrapper — e.g. a failure-injecting filter —
+    * between the scan and every consumer of `name`, then run the REAL
+    * declared queries against it (retry-determinism specs). Production
+    * code never calls this.
+    */
+  private[graft] def seed(spark: SparkSession, dir: String, name: String, df: DataFrame): Unit = {
+    val st = state(spark)
+    st.dfs.put((dir, name), df)
+    st.registeredDir = null
+  }
+
   /** events.ts is physically INT64 TIMESTAMP(NANOS); with
     * `spark.sql.legacy.parquet.nanosAsLong` Spark reads it as a nanos-since-
     * epoch long. We expose `ts` as a microsecond TIMESTAMP (truncating —

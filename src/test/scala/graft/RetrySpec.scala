@@ -1,0 +1,102 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fault-injection armory for [[RetrySpec]]: one-shot task poison. The
+  * test JVM is also the executor JVM in local mode, so a static
+  * AtomicBoolean is visible to tasks; `compareAndSet` guarantees exactly
+  * one task throws per armed window, and the `attemptNumber == 0` guard
+  * lets that task's RETRY succeed.
+  */
+object Poison {
+  val armed = new AtomicBoolean(false)
+  def trip(): Boolean = {
+    val tc = TaskContext.get()
+    if (tc != null && tc.attemptNumber() == 0 && armed.compareAndSet(true, false))
+      throw new RuntimeException("graft: injected task failure (retry-determinism spec)")
+    true
+  }
+}
+
+/** Retry-determinism proof (VERDICT r5 #5): the engine's signature claim
+  * is that every ordering, salting, sharding and sampling decision is a
+  * pure function of row CONTENT (md5/hash), so a retried task recomputes
+  * byte-identical output. Until now that was argued, never injected —
+  * these specs kill one task mid-query and assert the result is identical
+  * to the clean run.
+  *
+  * Own forked JVM (build.sbt `ownJvmSuites`): local-mode task retries
+  * need the `local[N, maxFailures]` master form, a context-level property
+  * the shared test session doesn't have. Injection uses the
+  * [[Tables.seed]] seam to interpose a one-shot poison filter between the
+  * parquet scan and the REAL declared query — the failure hits the first
+  * stage, so everything downstream (md5 ordering, hex sharding,
+  * content-hash salt) recomputes on the retried task.
+  */
+class RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = Engine.builder("graft-retry", "local[4, 2]", 4).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = {
+    Tables.clear(spark)
+    spark.stop()
+  }
+
+  // nondeterministic so Catalyst neither folds it nor reorders it away
+  // from the scan it is attached to
+  private val poison = udf(() => Poison.trip()).asNondeterministic()
+
+  /** Runs `q` clean, then again with table `name` poisoned; asserts the
+    * poison actually fired (armed consumed → the throw executed, and the
+    * query still succeeded → a retry ran) and both results are identical.
+    */
+  private def assertRetryStable(name: String, q: Tables.QFn): Unit = {
+    def snap(df: DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val clean = Tables.load(spark, sf, name)
+    val base = snap(q(spark, sf))
+    Tables.seed(spark, sf, name, clean.filter(poison()))
+    Poison.armed.set(true)
+    val (got, fired) =
+      try {
+        val rows = snap(q(spark, sf))
+        (rows, !Poison.armed.get()) // consumed ⇒ the throw executed
+      } finally {
+        Tables.seed(spark, sf, name, clean)
+        Poison.armed.set(false)
+      }
+    assert(fired, "poison never fired — injection was vacuous")
+    assert(got == base, "retried run diverged from clean run")
+  }
+
+  test("q_text_shuffle: md5 epoch order + shard assignment survive a task retry") {
+    assertRetryStable("documents",
+      SparkEntry.queries("q_text_shuffle"))
+  }
+
+  test("q_stat_split: md5 train/val/test buckets survive a task retry") {
+    assertRetryStable("documents",
+      SparkEntry.queries("q_stat_split"))
+  }
+
+  test("q_salted_agg: content-hash salt survives a task retry") {
+    assertRetryStable("lineitem",
+      SparkEntry.queries("q_salted_agg"))
+  }
+
+  test("injection harness sanity: an unarmed poison passes rows through") {
+    val n = Tables.load(spark, sf, "nation")
+    assert(n.filter(poison()).count() == n.count())
+  }
+}
