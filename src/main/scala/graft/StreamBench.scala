@@ -1,0 +1,180 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+/** Streaming throughput/latency benchmark (VERDICT r5 #2): the
+  * BASELINE.json north star names Structured Streaming optimization as
+  * this engine's Sol-delta analog — overlap ingest with computation via
+  * micro-batch pipelining — and until now every streaming operator was
+  * spec'd but none was TIMED. This main measures a stateful pipeline's
+  * steady-state rows/sec and per-batch latency and prints one JSON line,
+  * like [[Bench]].
+  *
+  * Pipeline under test (the canonical training-data ingest shape):
+  * rate-micro-batch source → explode ×2 (manufactures real duplicates)
+  * → `dropDuplicatesWithinWatermark` (RocksDB-backed dedup state)
+  * → watermarked 5 s tumbling-window aggregation, update mode → noop
+  * sink. Three configs isolate where time goes:
+  *   - `stateless`: projection+filter only — the scheduling/source floor;
+  *   - `stateful_rocksdb`: the engine default (off-heap state,
+  *     incremental checkpoints — the 100 TB posture);
+  *   - `stateful_hdfs`: HDFSBackedStateStoreProvider (on-heap) — the
+  *     comparison point for the store knob.
+  *
+  * Methodology mirrors Bench: the `rate-micro-batch` source emits an
+  * EXACT row count per batch (unlike `rate`, which is wall-clock bound),
+  * so batches are comparable; the first `warmup` batches are excluded
+  * (session/codegen/state-store spin-up); throughput = Σ input rows / Σ
+  * triggerExecution over the measured window; latency percentiles come
+  * from the StreamingQueryListener's progress events, the same channel a
+  * production monitor would use. Knobs via env: SPARK_GRAFT_STREAM_ROWS
+  * (rows/batch), SPARK_GRAFT_STREAM_BATCHES, SPARK_GRAFT_STREAM_WARMUP.
+  */
+object StreamBench {
+
+  final case class BatchStat(batchId: Long, inputRows: Long, triggerMs: Long)
+
+  /** Collects per-batch progress for ONE query run (scoped by runId —
+    * the listener bus replays queued events of earlier queries).
+    */
+  private final class Progress extends StreamingQueryListener {
+    @volatile var runId: java.util.UUID = _
+    val stats = new ConcurrentLinkedQueue[BatchStat]()
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      if (runId != null && p.runId == runId && p.numInputRows > 0) {
+        stats.add(BatchStat(p.batchId, p.numInputRows,
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)))
+      }
+    }
+  }
+
+  private def pct(xs: Seq[Long], q: Double): Long =
+    if (xs.isEmpty) -1L
+    else {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(q * s.size).toInt - 1).max(0))
+    }
+
+  /** Runs one config for `batches` completed batches; returns
+    * (rows/sec steady-state, p50 ms, p95 ms, measured batches, rows).
+    */
+  private def run(
+      spark: SparkSession, name: String, stateful: Boolean, provider: String,
+      rowsPerBatch: Int, batches: Int, warmup: Int): (Double, Long, Long, Int, Long) = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sb-$name").toString
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("numPartitions", "8")
+      .load()
+      .select(col("timestamp").as("event_time"), col("value"))
+    val df: DataFrame =
+      if (!stateful) {
+        src.select(col("value"), col("event_time"),
+            pmod(col("value"), lit(100)).as("agg_key"))
+          .where(col("value") % 7 =!= 0)
+      } else {
+        src
+          // two bit-identical copies of every row = real dedup work
+          .select(col("event_time"), col("value"),
+            explode(array(lit(0), lit(1))).as("copy"))
+          .drop("copy")
+          .withWatermark("event_time", "10 seconds")
+          .dropDuplicatesWithinWatermark("value")
+          .groupBy(window(col("event_time"), "5 seconds"),
+            pmod(col("value"), lit(100)).as("agg_key"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      }
+    val listener = new Progress
+    spark.streams.addListener(listener)
+    val q = df.writeStream
+      .format("noop")
+      .outputMode(if (stateful) "update" else "append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0L))
+      .queryName(s"streambench-$name")
+      .start()
+    listener.runId = q.runId
+    try {
+      val deadline = System.nanoTime() + 10L * 60 * 1000 * 1000 * 1000
+      while (listener.stats.size < batches && System.nanoTime() < deadline) {
+        q.exception.foreach(throw _)
+        Thread.sleep(50)
+      }
+      require(listener.stats.size >= batches,
+        s"$name: only ${listener.stats.size}/$batches batches within deadline")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(ckpt))
+    }
+    val measured = listener.stats.asScala.toVector
+      .sortBy(_.batchId).slice(warmup, batches)
+    val rows = measured.map(_.inputRows).sum
+    val ms = measured.map(_.triggerMs)
+    val thru = if (ms.sum > 0) rows.toDouble * 1000.0 / ms.sum else -1.0
+    (thru, pct(ms, 0.50), pct(ms, 0.95), measured.size, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rowsPerBatch = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "200000").toInt
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "25").toInt
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_STREAM_WARMUP", "5").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // State-partition knob: each shuffle partition × stateful operator is
+    // a state-store INSTANCE paying open/commit per batch — on one box 32
+    // partitions × 2 operators = 64 stores of per-batch overhead, so
+    // small-state pipelines run faster with fewer, fatter partitions
+    // (sweep recorded in BASELINE.md). On a 1000-executor cluster the
+    // instances spread out and the count should track total cores again.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8").toInt
+    val spark = Engine.builder("graft-streambench", s"local[$cpus]", shuffle)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val hdfs =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val configs = Seq(
+      ("stateless", false, rocks),
+      ("stateful_rocksdb", true, rocks),
+      ("stateful_hdfs", true, hdfs))
+    val results = configs.map { case (name, stateful, provider) =>
+      val (thru, p50, p95, n, rows) =
+        run(spark, name, stateful, provider, rowsPerBatch, batches, warmup)
+      System.err.println(
+        f"[streambench] $name%-17s $thru%12.0f rows/s  p50 $p50%4d ms  p95 $p95%4d ms  ($n batches, $rows rows)")
+      name -> (thru, p50, p95, n, rows)
+    }
+    def fmt(d: Double): String = f"$d%.1f"
+    val cfgJson = results.map { case (name, (thru, p50, p95, n, rows)) =>
+      s""""$name":{"rows_per_sec":${fmt(thru)},"p50_ms":$p50,"p95_ms":$p95,"batches":$n,"rows":$rows}"""
+    }.mkString("{", ",", "}")
+    val headline = results.collectFirst {
+      case ("stateful_rocksdb", (thru, _, _, _, _)) => thru
+    }.getOrElse(-1.0)
+    val jsonLine =
+      s"""{"metric":"stream_stateful_rows_per_sec","value":${fmt(headline)},"unit":"rows/sec","configs":$cfgJson,"rows_per_batch":$rowsPerBatch,"batches":$batches,"warmup":$warmup,"shuffle_partitions":$shuffle,"cpus":$cpus}"""
+    println(jsonLine)
+    val outFile =
+      sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "/tmp/streambench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), jsonLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[streambench] could not write $outFile: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}
