@@ -278,7 +278,22 @@ object Dedup extends QModule {
       SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep
       FROM reach GROUP BY a"""))
 
+  /** The star-contraction variant of [[qDedupCluster]] against the SAME
+    * recursive-closure oracle: alternating large-star/small-star
+    * ([[graft.operators.Components]] `star = true`) resolves chain-shaped
+    * dup graphs in O(log n) rounds where min-label needs diameter rounds
+    * — declaring both keeps the two algorithms oracle-equal forever, not
+    * just property-equal on generated graphs.
+    */
+  val qDedupClusterStar = QDef(
+    "q_dedup_cluster_star",
+    (s, d) => graft.operators.Components
+      .labelPropagate(qDedupJaccard.fn(s, d).select("a_id", "b_id"), "a_id", "b_id",
+        star = true)
+      .select(col("id").as("doc_id"), col("label").as("rep")),
+    qDedupCluster.oracle)
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash,
-    qDedupCluster)
+    qDedupCluster, qDedupClusterStar)
 }
