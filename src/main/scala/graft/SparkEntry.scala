@@ -16,7 +16,7 @@ object SparkEntry {
     qm.Agg, qm.Joins, qm.Windows, qm.SetOps, qm.Subq, qm.Scalars, qm.Ev,
     qm.Text, qm.Dedup, qm.Sim, qm.Extra, qm.Sql, qm.Stats,
     qm.Pipeline, qm.Tpch, qm.Tpch2, qm.Tpcds2, qm.Tpcds3, qm.Tpcds4,
-    qm.Ssb).flatMap(_.defs)
+    qm.Tpcds5, qm.Ssb).flatMap(_.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
