@@ -12,11 +12,18 @@ import graft.{queries => qm}
 object SparkEntry {
 
   /** Every implemented operator/query, in module order. */
-  val all: Seq[QDef] = Seq(
-    qm.Agg, qm.Joins, qm.Windows, qm.SetOps, qm.Subq, qm.Scalars, qm.Ev,
-    qm.Text, qm.Dedup, qm.Sim, qm.Extra, qm.Sql, qm.Stats,
-    qm.Pipeline, qm.Tpch, qm.Tpch2, qm.Tpcds2, qm.Tpcds3, qm.Tpcds4,
-    qm.Tpcds5, qm.Ssb).flatMap(_.defs)
+  val all: Seq[QDef] = {
+    val defs = Seq(
+      qm.Agg, qm.Joins, qm.Windows, qm.SetOps, qm.Subq, qm.Scalars, qm.Ev,
+      qm.Text, qm.Dedup, qm.Sim, qm.Extra, qm.Sql, qm.Stats,
+      qm.Pipeline, qm.Tpch, qm.Tpch2, qm.Tpcds2, qm.Tpcds3, qm.Tpcds4,
+      qm.Tpcds5, qm.Ssb).flatMap(_.defs)
+    // `queries`/`oracleSql` are Maps — a repeated name would silently
+    // shadow the earlier definition, so fail loudly at class-load.
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -18,14 +18,18 @@ import graft.{Exact, QDef, QModule}
   */
 object Tpcds5 extends QModule {
 
-  /** TPC-DS Q1 shape: customers whose return total exceeds 1.2× their
-    * nation's average. The correlated scalar aggregates decorrelate to
-    * one per-nation aggregate joined back on the correlation key — never
-    * a per-row subquery execution. The 1.2× average compare is exact:
-    * `ret·5·count > 6·sum` (6/5 = 1.2), all BIGINT units, so no
-    * float-boundary row flips. At 100×: `ret` is bounded by customers,
-    * the nation aggregate by nations — both tiny next to the fact scan
-    * that builds them.
+  /** TPC-DS Q1 shape, correlated-subquery formulation: customers whose
+    * return total exceeds 1.2× their nation's average. The twin of
+    * `q_tpcds_q1` (Pipeline.scala), which writes the same semantics as a
+    * window over the aggregate — THIS text instead puts two correlated
+    * scalar aggregates in the WHERE clause, exercising Catalyst's
+    * decorrelation rewrite: both subqueries collapse to one per-nation
+    * aggregate joined back on the correlation key (plan-asserted in
+    * OperatorSpec) — never a per-row subquery execution. The 1.2×
+    * average compare is exact: `ret·5·count > 6·sum` (6/5 = 1.2), all
+    * BIGINT units, so no float-boundary row flips. At 100×: `ret` is
+    * bounded by customers, the nation aggregate by nations — both tiny
+    * next to the fact scan that builds them.
     */
   private val q1Sql = s"""
       WITH ret AS (
@@ -42,7 +46,7 @@ object Tpcds5 extends QModule {
       WHERE ret_units * 5 * (SELECT COUNT(*) FROM nat_ret y WHERE y.nat = x.nat)
             > 6 * (SELECT CAST(SUM(ret_units) AS BIGINT) FROM nat_ret y WHERE y.nat = x.nat)
       ORDER BY c_custkey"""
-  val qTpcdsQ1 = QDef("q_tpcds_q1", sqlQ(q1Sql), Some(q1Sql))
+  val qTpcdsQ1Corr = QDef("q_tpcds_q1corr", sqlQ(q1Sql), Some(q1Sql))
 
   /** TPC-DS Q17 shape: sale → return → repurchase chains. Three
     * instances of the fact (filtered by return flag = the fixture's
@@ -189,5 +193,5 @@ object Tpcds5 extends QModule {
       ORDER BY c.brand, c.yr"""
   val qTpcdsQ75 = QDef("q_tpcds_q75", sqlQ(q75Sql), Some(q75Sql))
 
-  val defs: Seq[QDef] = Seq(qTpcdsQ1, qTpcdsQ17, qTpcdsQ39, qTpcdsQ75)
+  val defs: Seq[QDef] = Seq(qTpcdsQ1Corr, qTpcdsQ17, qTpcdsQ39, qTpcdsQ75)
 }

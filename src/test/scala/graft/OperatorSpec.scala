@@ -691,4 +691,31 @@ class OperatorSpec extends SparkSpecBase {
     val sj = plan("q_join_salted")
     assert(sj.contains("BroadcastHashJoin"), s"salted join lost the broadcast:\n$sj")
   }
+
+  test("TPC-DS batch-5 shapes: correlated scalars decorrelate, chain joins stay equi, self-joins run on aggregated grain") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q1corr: the two correlated scalar aggregates in the WHERE clause
+    // decorrelate to aggregate+join — the executed plan has real joins
+    // and NO per-row subquery machinery or nested-loop fallback
+    val s1 = plan("q_tpcds_q1corr")
+    assert(!s1.contains("CartesianProduct") && !s1.contains("BroadcastNestedLoop"),
+      s"Q1corr subqueries did not decorrelate to equi joins:\n$s1")
+    assert(s1.contains("HashAggregate"), s"Q1corr lost the per-nation aggregate:\n$s1")
+    // Q17: both chain joins are EQUI joins on (cust, brand) with the date
+    // predicates as residual conditions — never planned as a non-equi
+    // nested loop, which would be quadratic at scale
+    val s17 = plan("q_tpcds_q17")
+    assert(!s17.contains("BroadcastNestedLoop") && !s17.contains("CartesianProduct"),
+      s"Q17 chain degraded to a non-equi join:\n$s17")
+    assert(s17.linesIterator.count(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) && l.contains(">=")) >= 2,
+      s"Q17 date residuals not attached to the equi joins:\n$s17")
+    // Q39: the consecutive-month self-join consumes HashAggregate output
+    // (supplier × month grain), not fact rows
+    val s39 = plan("q_tpcds_q39")
+    val j39 = s39.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    assert(j39 >= 0 && s39.linesIterator.drop(j39).count(_.contains("HashAggregate")) >= 2,
+      s"Q39 self-joined before aggregating to the grain:\n$s39")
+  }
 }
