@@ -235,38 +235,50 @@ object Sim extends QModule {
     * elements and the exactly-reproducible centroid components, with a
     * (d2, label) tiebreak.
     */
-  private def ivfSql(dialect: String): String = {
-    val compRel = dialect match {
-      case "spark" => """
+  /** Per-(label, pos) quantized-mean component relation (the coarse-
+    * quantizer training scan), shared by [[qSimIvf]] and [[qSimIvfTopk]].
+    */
+  private def ivfCompRel(dialect: String): String = dialect match {
+    case "spark" => """
         SELECT label, pos,
                CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 / COUNT(*) AS c
         FROM (SELECT label, posexplode(embedding) AS (pos, v) FROM embeddings)
         GROUP BY label, pos"""
-      case _ => """
+    case _ => """
         SELECT label, CAST(pos AS INTEGER) AS pos,
                CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 / COUNT(*) AS c
         FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
               FROM embeddings)
         GROUP BY label, pos"""
-    }
-    val centSel = dialect match {
-      case "spark" =>
-        "SELECT label AS c_label, transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS ce FROM comp GROUP BY label"
-      case _ =>
-        "SELECT label AS c_label, list(c ORDER BY pos) AS ce FROM comp GROUP BY label"
-    }
-    val d2 = dialect match {
-      case "spark" =>
-        "aggregate(zip_with(e.embedding, c.ce, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-      case _ =>
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip(e.embedding, c.ce), " +
-          "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), " +
-          "(acc, v) -> acc + v)"
-    }
+  }
+
+  /** Centroid vectors re-assembled from `comp`, ordered by position. */
+  private def ivfCentSel(dialect: String): String = dialect match {
+    case "spark" =>
+      "SELECT label AS c_label, transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS ce FROM comp GROUP BY label"
+    case _ =>
+      "SELECT label AS c_label, list(c ORDER BY pos) AS ce FROM comp GROUP BY label"
+  }
+
+  /** Ordered-fold squared L2 distance between `a` (float vector) and `b`
+    * (double centroid vector) — same left-fold determinism contract as
+    * [[dot]].
+    */
+  private def d2Expr(dialect: String, a: String, b: String): String = dialect match {
+    case "spark" =>
+      s"aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    case _ =>
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), " +
+        "(acc, v) -> acc + v)"
+  }
+
+  private def ivfSql(dialect: String): String = {
+    val d2 = d2Expr(dialect, "e.embedding", "c.ce")
     s"""
-      WITH comp AS ($compRel),
-      cent AS ($centSel),
+      WITH comp AS (${ivfCompRel(dialect)}),
+      cent AS (${ivfCentSel(dialect)}),
       dist AS (SELECT e.vec_id, c.c_label, $d2 AS d2
                FROM embeddings e CROSS JOIN cent c),
       r AS (SELECT vec_id, c_label, d2,
@@ -279,6 +291,61 @@ object Sim extends QModule {
     "q_sim_ivf",
     sqlQ(ivfSql("spark")),
     Some(ivfSql("duck")))
+
+  /** Query-time IVF ANN search — the piece that turns the trained index
+    * ([[qSimCentroid]] + [[qSimIvf]]) into an answer: each query probes
+    * its `nprobe = 2` nearest cells and runs the exact cosine kernel over
+    * ONLY those cells' inverted lists, top-5 per query. This is the
+    * data-adaptive twin of [[qSimLshTopk]]: same candidate-bounding idea,
+    * cells learned from the corpus instead of fixed hyperplanes.
+    *
+    * Scale shape: the centroid table (cells × dims) broadcasts into both
+    * the assignment scan and the probe step, so the only shuffle keys on
+    * `cell` — at 100 TB the inverted lists live partitioned (and in
+    * practice sorted) by cell, the probe side is #queries × nprobe rows,
+    * and the candidate join fans out to nprobe·(n/cells) rows per query
+    * instead of n. Multi-probe (rn <= 2) is what bounds the recall loss:
+    * a query near a cell boundary still sees its neighbor's cell.
+    * Recall vs the brute-force baseline is measured in the spec against
+    * [[qSimTopk]]; the oracle verifies the computation bit-exactly (all
+    * distances are ordered folds, ties broken on (d2, cell) / (cos, id)).
+    */
+  private def ivfTopkSql(dialect: String): String = {
+    val d = (a: String, b: String) => dot(dialect, a, b)
+    s"""
+      WITH comp AS (${ivfCompRel(dialect)}),
+      cent AS (${ivfCentSel(dialect)}),
+      e AS (SELECT vec_id, embedding,
+                   sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
+      dist AS (SELECT e.vec_id, c.c_label,
+                      ${d2Expr(dialect, "e.embedding", "c.ce")} AS d2
+               FROM e CROSS JOIN cent c),
+      asg AS (SELECT vec_id, c_label FROM (
+                SELECT vec_id, c_label,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+                FROM dist) a WHERE rn = 1),
+      lists AS (SELECT e.vec_id, e.embedding, e.nrm, a.c_label AS cell
+                FROM e JOIN asg a ON a.vec_id = e.vec_id),
+      q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
+      probe AS (SELECT q_id, c_label AS cell FROM (
+                  SELECT vec_id AS q_id, c_label,
+                         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+                  FROM dist WHERE vec_id < 10) p WHERE rn <= 2),
+      cand AS (SELECT q.q_id, l.vec_id AS n_id,
+                      ${d("q.qe", "l.embedding")} / (q.qn * l.nrm) AS cos_sim
+               FROM q JOIN probe p ON p.q_id = q.q_id
+                      JOIN lists l ON l.cell = p.cell AND l.vec_id <> q.q_id),
+      r AS (SELECT q_id, n_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rnk
+            FROM cand)
+      SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5"""
+  }
+
+  val qSimIvfTopk = QDef(
+    "q_sim_ivf_topk",
+    sqlQ(ivfTopkSql("spark")),
+    Some(ivfTopkSql("duck")),
+    bench = true)
 
   /** One full Lloyd (k-means) iteration: assign every vector to its
     * nearest centroid ([[qSimIvf]] as a CTE), then recompute the centroid
@@ -322,5 +389,5 @@ object Sim extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf,
-    qSimKmeans)
+    qSimIvfTopk, qSimKmeans)
 }

@@ -183,6 +183,19 @@ class OperatorSpec extends SparkSpecBase {
     assert(recall > 0.1, s"recall $recall suspiciously low")
   }
 
+  test("IVF multi-probe ANN reaches higher recall than its candidate bound suggests") {
+    val brute = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q_sim_ivf_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty, "IVF search produced no candidates")
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // data-adaptive cells + nprobe=2 should beat random hyperplanes:
+    // label-trained centroids align cells with the embedding clusters,
+    // so most true neighbors share one of the two probed cells
+    assert(recall > 0.3, s"IVF recall $recall suspiciously low")
+  }
+
   test("broadcast hint reaches the plan in q_join_multi") {
     val plan = SparkEntry.queries("q_join_multi")(spark, sf)
       .queryExecution.executedPlan.toString
