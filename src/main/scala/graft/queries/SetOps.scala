@@ -168,6 +168,34 @@ object SetOps extends QModule {
     */
   val qSrcOrc = QDef("q_src_orc", roundTrip("orc"), Some(rtOracle))
 
+  /** Dynamic-partition write + pruned read as an ORACLE-CHECKED query
+    * (SURVEY §2.1 writers row — the spec asserts the pruning, this
+    * proves the data): orders is written `partitionBy(o_orderstatus)`,
+    * read back with a one-partition filter, and aggregated; the oracle
+    * aggregates the source with the same predicate. The filter reaches
+    * the scan as a PartitionFilter (directory pruning — asserted on this
+    * exact query in SourcesSpec), so the read touches ONE partition's
+    * files: at 100 TB the partition column is the coarse pruning axis
+    * and this plan reads only the matching directory tree.
+    */
+  val qSrcPartitioned = QDef(
+    "q_src_partitioned",
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rt-part-${ProcessHandle.current().pid()}"
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.dsum(col("o_totalprice"), 2).as("total"))
+    },
+    Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             ${graft.Exact.dsumSql("o_totalprice", 2)} AS total
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus"""))
+
   /** Text source round-trip (SURVEY §2.1 text row): one line per
     * document (fixture text is single-line), read back as the text
     * source's single `value` column; line count and char volume must
@@ -188,5 +216,5 @@ object SetOps extends QModule {
   val defs: Seq[QDef] = Seq(
     qSetUnion, qSetUnionAll, qSetIntersect, qSetExcept, qSetExceptAll,
     qSetIntersectAll, qSetDistinct, qSortTopk, qSortOffset, qSetUnionByName,
-    qSrcCsv, qSrcJson, qSrcOrc, qSrcText)
+    qSrcCsv, qSrcJson, qSrcOrc, qSrcText, qSrcPartitioned)
 }

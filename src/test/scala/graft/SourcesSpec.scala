@@ -53,6 +53,15 @@ class SourcesSpec extends SparkSpecBase {
     assert(pruned.count() == src.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("q_src_partitioned's declared read prunes to the filtered partition") {
+    val df = SparkEntry.queries("q_src_partitioned")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // content, not presence: every partitioned scan prints the header
+    val pruned = raw"PartitionFilters: \[isnotnull\(o_orderstatus#\d+\), \(o_orderstatus#\d+ = F\)\]".r
+    assert(pruned.findFirstIn(plan).isDefined,
+      s"declared query's scan is not partition-pruned:\n$plan")
+  }
+
   test("dynamic partition pruning injects a runtime filter into the fact scan") {
     // The 100-TB essential: a filter on the DIM side prunes fact
     // partitions at RUNTIME (reference `CAT/execution/dynamicpruning/
