@@ -50,31 +50,55 @@ object Tables {
     st.registeredDir = null
   }
 
-  /** events.ts is physically INT64 TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` Spark reads it as a nanos-since-
-    * epoch long. We expose `ts` as a microsecond TIMESTAMP (truncating —
-    * exactly what DuckDB does when it reads the same file) and keep the raw
-    * nanos as `ts_ns` for total ordering.
+  /** events.ts has shipped in three physical parquet flavors across driver
+    * fixture regenerations: INT64 TIMESTAMP(NANOS) (read as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ), and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=true) (read as TIMESTAMP). A 100 TB corpus will
+    * contain all of them, so the load seam — not every query — normalizes:
+    * `ts` is always a microsecond TIMESTAMP (LTZ) and `ts_ns` always a
+    * nanos-since-epoch BIGINT for total ordering (raw when physical,
+    * derived µs*1000 otherwise). The NTZ→LTZ cast is a wall-clock
+    * reinterpretation, value-preserving only at UTC — which is why the
+    * session timezone is pinned below.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     state(spark).dfs.computeIfAbsent((dir, name), _ => doLoad(spark, dir, name))
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // runtime-settable; makes events readable on host-provided sessions
     // built without Engine.builder's config
-    if (name == "events")
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The NTZ branch below reinterprets wall-clock in the session zone;
+      // only UTC makes it value-preserving (and every oracle comparison
+      // already assumes UTC — Engine.builder pins it too).
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType.typeName == "long")
-      df.withColumnRenamed("ts", "ts_ns")
-        // floor-division (not `div`, which truncates toward zero) so a
-        // hypothetical pre-epoch nanos value still floors like DuckDB's
-        // ns->us read-time conversion of the same file.
-        .withColumn("ts",
-          timestamp_micros(expr("(ts_ns - pmod(ts_ns, 1000)) div 1000")))
-        .select(col("event_id"), col("ts"), col("ts_ns"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-    else df
+    if (name != "events") df
+    else {
+      val shaped = df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumnRenamed("ts", "ts_ns")
+            // floor-division (not `div`, which truncates toward zero) so a
+            // hypothetical pre-epoch nanos value still floors like DuckDB's
+            // ns->us read-time conversion of the same file.
+            .withColumn("ts",
+              timestamp_micros(expr("(ts_ns - pmod(ts_ns, 1000)) div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+            .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+        case TimestampType =>
+          df.withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+        case other => throw new IllegalStateException(
+          s"events.ts arrived as unsupported type $other; " +
+            "expected TIMESTAMP, TIMESTAMP_NTZ, or INT64 nanos")
+      }
+      shaped.select(col("event_id"), col("ts"), col("ts_ns"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
   }
 
   /** Registers every table as a temp view named after its file. Idempotent.

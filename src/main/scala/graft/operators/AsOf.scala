@@ -42,11 +42,16 @@ object AsOf {
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Staleness in the ts column's own units: micros for timestamps,
-    // raw difference for numeric time columns.
+    // raw difference for numeric time columns. `unix_micros` rejects
+    // TIMESTAMP_NTZ, so that flavor routes through a cast — under the
+    // engine's pinned-UTC session the reinterpretation is value-preserving,
+    // and tolerance is a DIFFERENCE of two same-shaped casts, so any fixed
+    // zone offset cancels even off the pinned session.
     def units(c: Column) =
       left.schema(leftTs).dataType match {
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
         case _ => c.cast("long")
       }
     val matched = u.withColumn("__pair",
@@ -130,10 +135,13 @@ object AsOf {
     val order = Window.partitionBy(key).orderBy(col("__t"), col("__side"), col("__v"))
     val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // NTZ routes through a cast (see joinCore.units): distances are
+    // differences of same-shaped casts, so any fixed zone offset cancels.
     def units(c: Column) =
       left.schema(leftTs).dataType match {
-        case org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
         case _ => c.cast("long")
       }
     val rightStruct =

@@ -172,6 +172,50 @@ class PropertySpec extends SparkSpecBase {
     }, cases = 8)
   }
 
+  test("as-of family is timestamp-flavor independent: LTZ and NTZ match the long-ts result") {
+    // Pins the operator's unit handling for BOTH timestamp flavors
+    // (VERDICT r6 #5): the long-ts path is brute-force-verified above, so
+    // it suffices to prove that running the SAME generated instance with
+    // ts encoded as TIMESTAMP (LTZ) or TIMESTAMP_NTZ yields identical
+    // output. Raw ts values are interpreted as epoch MICROseconds
+    // (`timestamp_micros`), so the micros-based tolerance of the
+    // timestamp path is the same number as the long path's raw units.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val rowGen = for {
+      k <- Gen.choose(0L, 3L); t <- Gen.choose(0L, 20L); v <- Gen.choose(-50L, 50L)
+    } yield (k, t, v.toDouble)
+    val gen = for {
+      ls <- Gen.nonEmptyListOf(rowGen)
+      rs <- Gen.listOf(rowGen)
+      tol <- Gen.choose(0L, 10L)
+    } yield (ls, rs, tol)
+    def flavored(df: DataFrame, c: String, flavor: String): DataFrame = flavor match {
+      case "long" => df
+      case "ltz"  => df.withColumn(c, timestamp_micros(col(c)))
+      case "ntz"  => df.withColumn(c, timestamp_micros(col(c)).cast("timestamp_ntz"))
+    }
+    check("asof_flavors", Prop.forAll(gen) { case (ls, rs, tol) =>
+      val left0 = ls.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+        .toDF("k", "ts", "lid")
+      val right0 = rs.toDF("k", "rts", "rv")
+      def results(flavor: String): Seq[Map[Long, Option[Double]]] = {
+        val left = flavored(left0, "ts", flavor)
+        val right = flavored(right0, "rts", flavor)
+        def m(df: DataFrame, c: String) = df.select(col("lid"), col(c)).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+          .toMap
+        Seq(
+          m(operators.AsOf.joinLast(left, right, "k", "ts", "rts", "rv", "o"), "o"),
+          m(operators.AsOf.joinNext(left, right, "k", "ts", "rts", "rv", "o"), "o"),
+          m(operators.AsOf.joinNearest(left, right, "k", "ts", "rts", "rv", "o"), "o"),
+          m(operators.AsOf.joinLastWithin(left, right, "k", "ts", "rts", "rv", "o", tol), "o"))
+      }
+      val base = results("long")
+      results("ltz") == base && results("ntz") == base
+    }, cases = 5)
+  }
+
   test("TopKAgg matches per-key sort-and-take for arbitrary inputs") {
     import spark.implicits._
     val rowGen = for {

@@ -34,6 +34,66 @@ class SourcesSpec extends SparkSpecBase {
     test(s"$fmt write/read round-trip") { assertRoundtrip(fmt) }
   }
 
+  test("events load seam normalizes every physical timestamp flavor (r6 regression)") {
+    // The driver has regenerated events.parquet with three different
+    // physical ts encodings across rounds: TIMESTAMP(MICROS) LTZ,
+    // TIMESTAMP(MICROS) NTZ (r6 — broke 11 queries), and INT64 nanos.
+    // Synthesize the same logical table in all three shapes (driver-
+    // independent) and prove Tables.load yields an identical normalized
+    // schema AND identical query results over each. The long flavor is a
+    // plain INT64 column: it surfaces as LongType exactly like the
+    // nanosAsLong read of TIMESTAMP(NANOS), exercising the same branch.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val n = 200
+    val base = spark.range(n).selectExpr(
+      "id AS event_id",
+      "timestamp_micros(1700000000000000 + id * 137000000) AS ts",
+      "id % 7 AS user_id",
+      "CASE WHEN id % 3 = 0 THEN 'click' WHEN id % 3 = 1 THEN 'view' ELSE 'buy' END AS event_type",
+      "CAST(id AS DOUBLE) / 4 AS value",
+      "'{}' AS props")
+    def writeFlavor(flavor: String): String = {
+      val dir = tmp(s"graft-ev-$flavor")
+      val shaped = flavor match {
+        case "ltz"  => base
+        case "ntz"  => base.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case "long" => base.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      }
+      shaped.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    def fingerprint(df: DataFrame): (Long, Long, Long) = {
+      val r = df.selectExpr(
+        "count(*)",
+        "sum((unix_micros(ts) % 1000000007) * event_id)",
+        "sum(ts_ns % 1000000007)").head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val results = Seq("ltz", "ntz", "long").map { flavor =>
+      val ev = Tables.load(spark, writeFlavor(flavor), "events")
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"$flavor: ts should normalize to TIMESTAMP, got ${ev.schema("ts").dataType}")
+      assert(ev.schema("ts_ns").dataType == LongType, s"$flavor: ts_ns should be BIGINT")
+      // one event-time window agg + one as-of join over the loaded frame
+      val win = ev.groupBy(window(col("ts"), "1 hour")).count()
+        .selectExpr("unix_micros(window.start) AS ws", "count")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val right = ev.selectExpr("user_id", "ts AS rts", "value AS rv")
+      val asof = operators.AsOf
+        .joinLast(ev.select("event_id", "user_id", "ts"), right,
+          "user_id", "ts", "rts", "rv", "last_v")
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSet
+      (flavor, fingerprint(ev), win, asof)
+    }
+    val (_, fp0, win0, asof0) = results.head
+    for ((flavor, fp, win, asof) <- results.tail) {
+      assert(fp == fp0, s"$flavor: fingerprint diverged from ltz")
+      assert(win == win0, s"$flavor: window aggregation diverged from ltz")
+      assert(asof == asof0, s"$flavor: as-of join diverged from ltz")
+    }
+  }
+
   test("text source round-trip") {
     // fixture texts are single-line, so the line count must equal the
     // row count exactly (a multi-line document would split)

@@ -16,7 +16,14 @@ import org.apache.spark.sql.streaming.OutputMode
 class StreamingSpec extends SparkSpecBase {
 
   private lazy val batchEvents: Seq[Event] = {
-    val rows = Tables.load(spark, sf, "events")
+    val loaded = Tables.load(spark, sf, "events")
+    // Loud one-line failure if a driver fixture regeneration changes the
+    // physical timestamp flavor and the Tables.doLoad seam stops
+    // normalizing it (r6: NTZ surfaced here as 17 ClassCastExceptions).
+    assert(loaded.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+      s"Tables.load left events.ts as ${loaded.schema("ts").dataType}; " +
+        "expected TIMESTAMP — fix the Tables.doLoad normalization seam")
+    val rows = loaded
       .select("event_id", "ts", "user_id", "event_type", "value")
       .collect()
     rows.map(r => Event(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
