@@ -14,7 +14,7 @@ object SparkEntry {
   /** Every implemented operator/query, in module order. */
   val all: Seq[QDef] = {
     val defs = Seq(
-      qm.Agg, qm.Joins, qm.Windows, qm.SetOps, qm.Subq, qm.Scalars, qm.Ev,
+      qm.Agg, qm.Joins, qm.Windows, qm.SetOps, qm.Subq, qm.Scalars, qm.Ev, qm.Ntz,
       qm.Text, qm.Dedup, qm.Sim, qm.Extra, qm.Sql, qm.Stats,
       qm.Pipeline, qm.Tpch, qm.Tpch2, qm.Tpcds2, qm.Tpcds3, qm.Tpcds4,
       qm.Tpcds5, qm.Ssb).flatMap(_.defs)
