@@ -496,8 +496,31 @@ object Scalars extends QModule {
                    ('oops,delta,9.0')) t(s)
       ORDER BY s"""))
 
+  /** XML scalar family (Spark 4 core): `to_xml` serializes a struct,
+    * `from_xml` parses it back with an explicit schema (round-trip
+    * recovers the original values — the oracle is simply the source
+    * columns), and the Hive `xpath_*` extractors pull typed values out of
+    * a constructed document. All per-row projections — one scan, codegen.
+    */
+  val qFnXml = QDef(
+    "q_fn_xml",
+    sqlQ("""
+      SELECT o_orderkey,
+             from_xml(to_xml(named_struct('s', o_orderstatus, 'p', o_totalprice)),
+                      's STRING, p DOUBLE').s AS s2,
+             from_xml(to_xml(named_struct('s', o_orderstatus, 'p', o_totalprice)),
+                      's STRING, p DOUBLE').p AS p2,
+             xpath_string(concat('<r><k>', o_orderkey, '</k></r>'), '/r/k') AS xk,
+             xpath_int(concat('<r><n>', o_custkey, '</n></r>'), '/r/n') AS xn
+      FROM orders"""),
+    Some("""
+      SELECT o_orderkey, o_orderstatus AS s2, o_totalprice AS p2,
+             CAST(o_orderkey AS STRING) AS xk, CAST(o_custkey AS INT) AS xn
+      FROM orders"""))
+
   val defs: Seq[QDef] = Seq(
     qFnString, qFnMath, qFnDatetime, qFnCond, qFnRegex, qFnJson, qFnHash,
     qFnArray, qFnExplode, qFnPosexplode, qFnString2, qFnMisc, qFnHof, qFnMap,
-    qFnTry, qFnExplodeOuter, qFnArraySet, qFnInline, qFnDateSpine, qFnFromCsv)
+    qFnTry, qFnExplodeOuter, qFnArraySet, qFnInline, qFnDateSpine, qFnFromCsv,
+    qFnXml)
 }

@@ -161,6 +161,27 @@ object SetOps extends QModule {
   val qSrcCsv = QDef("q_src_csv", roundTrip("csv"), Some(rtOracle))
   val qSrcJson = QDef("q_src_json", roundTrip("json"), Some(rtOracle))
 
+  /** XML write→read round-trip (Spark 4 ships the XML source in core —
+    * SURVEY §2.1 source matrix): same lossless-aggregate contract as
+    * csv/json. `rowTag` is the one XML-specific knob (element name per
+    * row); doubles survive via the same shortest-round-trip text
+    * formatting argument as csv.
+    */
+  val qSrcXml = QDef(
+    "q_src_xml",
+    (s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-rt-xml-${ProcessHandle.current().pid()}"
+      val src = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      src.coalesce(2).write.mode("overwrite")
+        .option("rowTag", "order").format("xml").save(dir)
+      s.read.schema(src.schema).option("rowTag", "order").format("xml").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.dsum(col("o_totalprice"), 2).as("total"))
+    },
+    Some(rtOracle))
+
   /** ORC round-trip through the same lossless-aggregate contract as
     * csv/json above: columnar ORC write + schema'd read must preserve
     * every row exactly, so the aggregate over the read-back equals the
@@ -216,5 +237,5 @@ object SetOps extends QModule {
   val defs: Seq[QDef] = Seq(
     qSetUnion, qSetUnionAll, qSetIntersect, qSetExcept, qSetExceptAll,
     qSetIntersectAll, qSetDistinct, qSortTopk, qSortOffset, qSetUnionByName,
-    qSrcCsv, qSrcJson, qSrcOrc, qSrcText, qSrcPartitioned)
+    qSrcCsv, qSrcJson, qSrcOrc, qSrcText, qSrcPartitioned, qSrcXml)
 }
