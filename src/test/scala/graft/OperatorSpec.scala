@@ -196,6 +196,30 @@ class OperatorSpec extends SparkSpecBase {
     assert(recall > 0.3, s"IVF recall $recall suspiciously low")
   }
 
+  test("IVF probe plan reads the materialized index, not the parquet fact (r6 perf defect)") {
+    // The r6 one-shot SQL silently retrained the quantizer per execution
+    // (inlined CTEs, ~10x the oracle). Lock the fix structurally: after
+    // the index memo is warm, the probe's physical plan must contain
+    // InMemoryTableScans and must NOT rescan the embeddings parquet —
+    // explain("formatted") prints cached-plan subtrees too, so assert on
+    // the simple-mode plan, which only prints the executed operators.
+    SparkEntry.queries("q_sim_ivf_topk")(spark, sf).write
+      .format("noop").mode("overwrite").save()
+    // Assert on the OPTIMIZED LOGICAL plan's leaves — cache substitution
+    // happens there, a cached read is an InMemoryRelation leaf (whose
+    // build plan lives inside the relation object, not the tree), and a
+    // rescan would surface as a parquet LogicalRelation leaf. (The
+    // physical side is an unexecuted AdaptiveSparkPlan wrapper, which
+    // hides its tree until execution.)
+    val leaves = SparkEntry.queries("q_sim_ivf_topk")(spark, sf)
+      .queryExecution.optimizedPlan.collectLeaves()
+    val names = leaves.map(_.nodeName).distinct.sorted
+    assert(names.contains("InMemoryRelation"),
+      s"probe should read the cached IVF index; leaves = $names")
+    assert(names == Seq("InMemoryRelation"),
+      s"probe should ONLY read the cached index (no fact rescan); leaves = $names")
+  }
+
   test("broadcast hint reaches the plan in q_join_multi") {
     val plan = SparkEntry.queries("q_join_multi")(spark, sf)
       .queryExecution.executedPlan.toString
