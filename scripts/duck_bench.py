@@ -26,7 +26,9 @@ con = duckdb.connect()
 con.execute("SET threads TO 32")
 for f in glob.glob(f'{sf_dir}/*.parquet'):
     name = os.path.basename(f).replace('.parquet', '')
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # Spark-written tables are DIRECTORIES of part files; glob them
+    path = f'{f}/*.parquet' if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
 
 oracle = json.load(open(oracle_path))
 names = list(json.load(open(bench_path))['queries'].keys())

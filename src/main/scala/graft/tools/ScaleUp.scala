@@ -1,0 +1,57 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: build a SYNTHETIC scaled-up copy of a driver fixture dir for
+  * scaling measurements — `runMain graft.tools.ScaleUp <srcDir> <outDir>
+  * <factor>`.
+  *
+  * The relational facts (`lineitem`, `orders`) are replicated `factor`×
+  * with the order key shifted by `i · (max_key + 1)` per replica, so the
+  * orders↔lineitem join degree is preserved exactly while both tables
+  * grow linearly; every replicated order keeps its original customer /
+  * part / supplier / date attributes, so dimension join fan-in grows
+  * `factor`× (the TPC-H-at-larger-SF shape for fixed dims). All other
+  * tables are byte-copied unchanged. The output is clearly NOT driver
+  * data — it exists so BASELINE.md's marginal-cost-per-added-row claim
+  * can be a measurement instead of an extrapolation while the driver
+  * ships no sf1 fixture.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val k = args(2).toInt
+    val spark = graft.Engine.builder("graft-scaleup", "local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      Files.createDirectories(Paths.get(out))
+      val maxKey = spark.read.parquet(s"$src/orders.parquet")
+        .agg(max("o_orderkey")).head.getLong(0) + 1
+      val reps = explode(sequence(lit(0), lit(k - 1))).as("__rep")
+
+      spark.read.parquet(s"$src/orders.parquet")
+        .withColumn("__rep", reps)
+        .withColumn("o_orderkey", col("o_orderkey") + col("__rep") * maxKey)
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+      spark.read.parquet(s"$src/lineitem.parquet")
+        .withColumn("__rep", reps)
+        .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * maxKey)
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+      for (n <- graft.Tables.names if n != "orders" && n != "lineitem") {
+        Files.copy(Paths.get(s"$src/$n.parquet"), Paths.get(s"$out/$n.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      val rows = spark.read.parquet(s"$out/lineitem.parquet").count()
+      println(s"[scaleup] wrote $out at ${k}x: lineitem rows = $rows")
+    } finally spark.stop()
+  }
+}
