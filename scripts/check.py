@@ -31,7 +31,9 @@ if not skip_verify:
 con = duckdb.connect()
 for f in glob.glob(f'{sf_dir}/*.parquet'):
     name = os.path.basename(f).replace('.parquet', '')
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # Spark-written tables are DIRECTORIES of part files; glob them
+    path = f'{f}/*.parquet' if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
 
 oracle = json.load(open(f'{out_dir}/oracle_sql.json'))
 declared = sorted(oracle.keys())
