@@ -23,19 +23,29 @@ object Stats extends QModule {
 
   /** Exact sample covariance + Pearson correlation from decimal power
     * sums, identical double expression tree on both sides.
+    *
+    * The decimal→double step goes THROUGH A STRING on both sides: engines
+    * disagree on direct decimal→double once the sum needs more than 53
+    * bits (DuckDB computes `(double)units · 10⁻ˢᶜᵃˡᵉ` — two roundings —
+    * where Spark's BigDecimal.doubleValue rounds once; measured 1-ulp
+    * divergence on syy ≈ 7.4e15 at the ×10 fixture), while decimal→string
+    * is exact and string→double is correctly-rounded strtod in both. One
+    * extra format/parse per GROUP (not per row) buys scale-independent
+    * determinism.
     */
   val qStatCovCorr = QDef(
     "q_stat_covcorr",
     (s, d) => {
       val x = col("l_quantity").cast(DecimalType(12, 2))
       val y = col("l_extendedprice").cast(DecimalType(12, 2))
+      def d2(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
       val g = t(s, d, "lineitem").groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
-        sum(x).cast("double").as("sx"),
-        sum(y).cast("double").as("sy"),
-        sum(x * x).cast("double").as("sxx"),
-        sum(y * y).cast("double").as("syy"),
-        sum(x * y).cast("double").as("sxy"))
+        d2(sum(x)).as("sx"),
+        d2(sum(y)).as("sy"),
+        d2(sum(x * x)).as("sxx"),
+        d2(sum(y * y)).as("syy"),
+        d2(sum(x * y)).as("sxy"))
       val cov = (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - lit(1))
       val vx = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1))
       val vy = (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - lit(1))
@@ -45,11 +55,11 @@ object Stats extends QModule {
     Some("""
       WITH g AS (
         SELECT l_returnflag, COUNT(*) AS n,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sx,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sy,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxx,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS syy,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n,
         (sxy - sx * sy / n) / (n - 1) AS cov_qp,
@@ -237,11 +247,11 @@ object Stats extends QModule {
       WITH g AS (
         SELECT l_returnflag,
           CAST(COUNT(*) AS DOUBLE) AS n,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sx,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sy,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxy,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS sxx,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE) AS syy
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, CAST(n AS BIGINT) AS regr_n,
         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
