@@ -206,6 +206,16 @@ object Tpch2 extends QModule {
     * anti build side included, which the textbook form leaves unfiltered)
     * and deletes the base's second orders join outright. The shuffle the
     * anti join pays then carries only F-order late lines.
+    *
+    * r7 plan adjudication (same-session A/B at the ×10 fixture, medians
+    * of 3 steady-state runs): this decorrelated 3-pass form, 4.27 s, BEAT
+    * every single-fact-pass rewrite tried — per-order collect_set windows
+    * 5.18 s, stacked codegen HashAggregates over one explicit orderkey
+    * exchange 6.26 s, and broadcast-orders variants 6.5–10 s (a fact-
+    * sized broadcast build is a scale anti-pattern AND slower locally).
+    * Catalyst's semi/anti joins reuse the sorted exchanges the base pass
+    * already pays, so the "redundant" passes are cheaper than any giant
+    * window/object-agg state; keep this text.
     */
   private val q21Sql = """
       WITH late AS (
