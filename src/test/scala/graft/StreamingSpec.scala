@@ -63,6 +63,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == want)
   }
 
+  test("NTZ event time: watermark rejects NTZ upstream; the load-seam LTZ normalization is the streaming path") {
+    // Two halves of the engine's NTZ streaming contract (r7):
+    // (a) Spark itself REFUSES TIMESTAMP_NTZ as a watermark column
+    //     (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — pinned here so an
+    //     upstream change that starts allowing it is noticed, and
+    // (b) therefore normalizing NTZ inputs to LTZ at the load seam
+    //     (Tables.doLoad, UTC session) is not merely a convenience: it is
+    //     what makes an NTZ-encoded source watermarkable at all. The
+    //     normalized column drives a watermarked windowed agg whose NTZ
+    //     re-cast output matches the batch NTZ twin (queries/Ntz.scala).
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Event]
+      input.toDF()
+        .withColumn("tsn", col("ts").cast("timestamp_ntz"))
+        .withWatermark("tsn", "10 minutes")
+        .groupBy(window(col("tsn"), "1 hour")).count()
+        .writeStream.format("memory").queryName("t_ntz_reject")
+        .outputMode(OutputMode.Append).start()
+    }
+    assert(e.getCondition == "EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE",
+      s"expected the NTZ watermark refusal, got: ${e.getMessage.take(200)}")
+
+    def graph(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .selectExpr("unix_micros(CAST(CAST(window.start AS TIMESTAMP_NTZ) AS TIMESTAMP)) AS ws_us", "cnt")
+    val got = runStream("t_tumb_ntzpath", OutputMode.Append,
+      graph, chunked(batchEvents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .selectExpr("unix_micros(CAST(CAST(window.start AS TIMESTAMP_NTZ) AS TIMESTAMP)) AS ws_us", "cnt")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Append emits only watermark-closed windows; the final window may
+    // stay open when the stream drains.
+    assert(got.subsetOf(want), s"stream emitted rows batch never produced: ${got -- want}")
+    assert(want.size - got.size <= 1,
+      s"more than the final window failed to close: got ${got.size} of ${want.size}")
+  }
+
   test("stream-static dim enrichment (complete mode) equals batch and keeps zero join state") {
     // The dim: user_id -> segment, a STATIC DataFrame resolved once.
     val dim = Tables.load(spark, sf, "events")
