@@ -46,7 +46,23 @@ object ScaleUp {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-      for (n <- graft.Tables.names if n != "orders" && n != "lineitem") {
+      // events: shift event_id per replica and nudge ts by `rep`
+      // MICROseconds — every event-time window assignment is unchanged
+      // (bucket boundaries are hours/minutes), while (user, ts) pairs
+      // stay near-unique so as-of matches don't collapse to ties. Read
+      // through Tables.load (NOT raw parquet): the source may be any of
+      // the three physical ts flavors; the seam normalizes to µs LTZ,
+      // which is what gets written (ts_ns re-derives on load).
+      graft.Tables.load(spark, src, "events")
+        .drop("ts_ns")
+        .withColumn("__rep", reps)
+        .withColumn("event_id", col("event_id") * k + col("__rep"))
+        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + col("__rep")))
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+      for (n <- graft.Tables.names if n != "orders" && n != "lineitem" && n != "events") {
         Files.copy(Paths.get(s"$src/$n.parquet"), Paths.get(s"$out/$n.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
       }
