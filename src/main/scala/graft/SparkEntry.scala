@@ -15,7 +15,7 @@ object SparkEntry {
   val all: Seq[QDef] = {
     val defs = Seq(
       qm.Agg, qm.Joins, qm.Windows, qm.SetOps, qm.Subq, qm.Scalars, qm.Ev, qm.Ntz,
-      qm.Text, qm.Dedup, qm.Sim, qm.Extra, qm.Sql, qm.Stats,
+      qm.Text, qm.Dedup, qm.Sim, qm.Extra, qm.Sql, qm.Dml, qm.Stats,
       qm.Pipeline, qm.Tpch, qm.Tpch2, qm.Tpcds2, qm.Tpcds3, qm.Tpcds4,
       qm.Tpcds5, qm.Tpcds6, qm.Ssb).flatMap(_.defs)
     // `queries`/`oracleSql` are Maps — a repeated name would silently

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{Exact, QDef, QModule, Tables}
+
+/** Row-level DML — DELETE FROM / UPDATE / MERGE INTO (SURVEY §2.13; lifts
+  * the COVERAGE "v2-only DML fence"). Each query materializes a DML target
+  * in the engine's [[graft.sources.DmlCatalog]] (a DataSource-V2 catalog
+  * with group-based copy-on-write row-level operations), mutates it with
+  * REAL DML statements through Catalyst's RewriteDelete/Update/MergeInto
+  * rewrites, and returns the post-DML state; the DuckDB oracle computes
+  * the same final state purely relationally from the parquet inputs — so
+  * a hash match proves the whole DML pipeline (parse → rewrite → replace
+  * scan → outer-join merge shapes → atomic group replacement) is
+  * semantics-preserving.
+  *
+  * Scale: the rewrites plan exactly the join shapes a lakehouse MERGE
+  * plans (target-scan ⟗ source on the ON condition); group granularity is
+  * the storage side's concern (files/partitions in Iceberg/Delta; one
+  * whole-table group here — dimension-sized targets, see DmlCatalog
+  * scaladoc). Determinism: money deltas go through the [[Exact]] unit-sum
+  * pattern, so the merged balances are bit-identical on both engines.
+  */
+object Dml extends QModule {
+
+  private def dmlQ(setup: Seq[String], result: String): QFn = (s, d) => {
+    Tables.register(s, d)
+    s.conf.set("spark.sql.catalog.graft_dml",
+      classOf[graft.sources.DmlCatalog].getName)
+    setup.foreach(s.sql(_))
+    s.sql(result)
+  }
+
+  // ---- DELETE FROM -------------------------------------------------------
+  // Copy orders in, delete low-value finished orders, aggregate survivors.
+  private val delResult = s"""
+      SELECT o_orderstatus, COUNT(*) AS n, ${Exact.dsumSql("o_totalprice")} AS total
+      FROM graft_dml.dml_del GROUP BY o_orderstatus"""
+  val qDmlDelete = QDef(
+    "q_dml_delete",
+    dmlQ(
+      Seq(
+        "DROP TABLE IF EXISTS graft_dml.dml_del",
+        """CREATE TABLE graft_dml.dml_del AS
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders""",
+        "DELETE FROM graft_dml.dml_del WHERE o_orderstatus = 'F' AND o_totalprice < 150000.0"),
+      delResult),
+    Some(s"""
+      WITH dml_del AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000.0))
+      SELECT o_orderstatus, COUNT(*) AS n, ${Exact.dsumSql("o_totalprice")} AS total
+      FROM dml_del GROUP BY o_orderstatus"""))
+
+  // ---- UPDATE ------------------------------------------------------------
+  // Rescue overdrawn customers: bump balance, relabel segment.
+  private val updResult = s"""
+      SELECT c_mktsegment, COUNT(*) AS n, ${Exact.dsumSql("c_acctbal")} AS bal
+      FROM graft_dml.dml_upd GROUP BY c_mktsegment"""
+  val qDmlUpdate = QDef(
+    "q_dml_update",
+    dmlQ(
+      Seq(
+        "DROP TABLE IF EXISTS graft_dml.dml_upd",
+        """CREATE TABLE graft_dml.dml_upd AS
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer""",
+        """UPDATE graft_dml.dml_upd
+           SET c_acctbal = c_acctbal + 1000.0, c_mktsegment = 'RESCUED'
+           WHERE c_acctbal < 0"""),
+      updResult),
+    Some(s"""
+      WITH dml_upd AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'RESCUED' ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN c_acctbal < 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+        FROM customer)
+      SELECT c_mktsegment, COUNT(*) AS n, ${Exact.dsumSql("c_acctbal")} AS bal
+      FROM dml_upd GROUP BY c_mktsegment"""))
+
+  // ---- MERGE INTO --------------------------------------------------------
+  // Upsert per-customer order stats into an even-keyed account snapshot,
+  // exercising all three clause families: MATCHED → UPDATE (balance +=
+  // exact spend), NOT MATCHED → INSERT, NOT MATCHED BY SOURCE → DELETE.
+  private val mrgSource = s"""
+      SELECT o_custkey AS k, COUNT(*) AS cnt, ${Exact.dsumSql("o_totalprice")} AS spend
+      FROM orders GROUP BY o_custkey"""
+  val qDmlMerge = QDef(
+    "q_dml_merge",
+    dmlQ(
+      Seq(
+        "DROP TABLE IF EXISTS graft_dml.dml_mrg",
+        """CREATE TABLE graft_dml.dml_mrg AS
+           SELECT c_custkey AS k, c_acctbal AS bal, CAST(0 AS BIGINT) AS n_orders
+           FROM customer WHERE c_custkey % 2 = 0""",
+        s"""MERGE INTO graft_dml.dml_mrg t
+           USING ($mrgSource) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET bal = t.bal + s.spend, n_orders = s.cnt
+           WHEN NOT MATCHED THEN INSERT (k, bal, n_orders) VALUES (s.k, CAST(0.0 AS DOUBLE), s.cnt)
+           WHEN NOT MATCHED BY SOURCE THEN DELETE"""),
+      "SELECT k, bal, n_orders FROM graft_dml.dml_mrg"),
+    Some(s"""
+      WITH t AS (
+        SELECT c_custkey AS k, c_acctbal AS bal FROM customer WHERE c_custkey % 2 = 0),
+      s AS ($mrgSource)
+      SELECT s.k AS k,
+             CASE WHEN t.k IS NOT NULL THEN t.bal + s.spend ELSE 0.0 END AS bal,
+             s.cnt AS n_orders
+      FROM s LEFT JOIN t ON t.k = s.k"""))
+
+  def defs: Seq[QDef] = Seq(qDmlDelete, qDmlUpdate, qDmlMerge)
+}

@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** An in-memory DataSource V2 catalog whose tables accept row-level DML —
+  * `DELETE FROM`, `UPDATE`, and `MERGE INTO` — via Spark's group-based
+  * copy-on-write rewrite ([[SupportsRowLevelOperations]]).
+  *
+  * Why this exists (SURVEY §2.13 / COVERAGE "v2-only DML fence"): stock
+  * Spark only plans row-level DML against a connector that implements the
+  * `RowLevelOperation` contract — the parquet file source and the
+  * in-memory session catalog do not (the reference's 2.4 SQL has no MERGE
+  * at all). This catalog supplies the missing contract, so the engine's
+  * FULL Catalyst DML pipeline is exercised end-to-end: parser →
+  * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable` → the
+  * `RewriteDeleteFromTable`/`RewriteUpdateTable`/`RewriteMergeIntoTable`
+  * analyzer rewrites → `ReplaceData` over the operation's scan → V2 batch
+  * write that swaps the rewritten group in one atomic commit.
+  *
+  * Scale posture (100 TB): the ENGINE-side capability proven here — the
+  * rewrite rules, the join shapes they plan (merge = outer join on the ON
+  * condition), atomic group replacement — is exactly what Iceberg/Delta
+  * plug into; only the storage differs. This catalog keeps one group per
+  * table in driver memory (fine for dimension-sized upsert targets, the
+  * spec- and oracle-checked use), where a lakehouse format keys groups to
+  * data files so a MERGE rewrites only affected files. The group-based
+  * `RowLevelOperation` surface is identical in both.
+  *
+  * Register per session (runtime-settable — catalogs load lazily):
+  * `spark.conf.set("spark.sql.catalog.graft_dml", classOf[DmlCatalog].getName)`.
+  */
+class DmlCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = "graft_dml"
+  private val tables = new ConcurrentHashMap[String, DmlTable]()
+  private def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    tables.keySet().asScala.toArray.sorted
+      .map(k => Identifier.of(Array.empty[String], k))
+
+  override def loadTable(ident: Identifier): Table =
+    Option(tables.get(key(ident)))
+      .getOrElse(throw new NoSuchTableException(ident))
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val t = new DmlTable(key(ident), schema)
+    if (tables.putIfAbsent(key(ident), t) != null)
+      throw new TableAlreadyExistsException(ident)
+    t
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tables.remove(key(ident)) != null
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val t = Option(tables.remove(key(from)))
+      .getOrElse(throw new NoSuchTableException(from))
+    if (tables.putIfAbsent(key(to), t) != null)
+      throw new TableAlreadyExistsException(to)
+  }
+
+  // Minimal namespace surface: a single implicit default namespace, so
+  // resolution (USE / qualified names) never trips on metadata lookups.
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("default"))
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit = ()
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = ()
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = false
+}
+
+/** One DML-capable table: full-schema rows held as an immutable snapshot
+  * array (UnsafeRow — compact and serializable, so scan partitions ship
+  * slices straight into tasks). Every write installs a new snapshot
+  * atomically at commit; readers that already planned keep their snapshot
+  * (snapshot isolation, the same model as a lakehouse table version).
+  */
+private[graft] class DmlTable(tableName: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+
+  @volatile private[sources] var rows: Array[InternalRow] = Array.empty
+  /** Observability for specs: row-level commands this table executed. */
+  private[graft] val opsSeen = new util.concurrent.CopyOnWriteArrayList[String]()
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new DmlScan(tableSchema, rows)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DmlWriteBuilder(this, info.schema(), replaceAll = false)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      // The operation reads the group being rewritten (here: the whole
+      // table — one group) ...
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        opsSeen.add(info.command().toString)
+        () => new DmlScan(tableSchema, rows)
+      }
+      // ... and its write REPLACES that group with the surviving rows the
+      // rewrite computed (copy-on-write). See DmlWriterFactory for how the
+      // ReplaceData stream's __row_operation marker is consumed.
+      override def newWriteBuilder(info2: LogicalWriteInfo): WriteBuilder =
+        new DmlWriteBuilder(DmlTable.this, info2.schema(), replaceAll = true)
+    }
+}
+
+/** Scan over a fixed snapshot, sliced for parallel read. */
+private[sources] class DmlScan(schema: StructType, snapshot: Array[InternalRow])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val slices = math.min(4, math.max(1, snapshot.length))
+    (0 until slices).map { i =>
+      val from = snapshot.length.toLong * i / slices
+      val until = snapshot.length.toLong * (i + 1) / slices
+      DmlSlice(snapshot.slice(from.toInt, until.toInt)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val rs = partition.asInstanceOf[DmlSlice].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rs.length }
+        override def get(): InternalRow = rs(i)
+        override def close(): Unit = ()
+      }
+    }
+}
+
+private[sources] case class DmlSlice(rows: Array[InternalRow]) extends InputPartition
+
+private[sources] case class DmlCommit(rows: Array[InternalRow]) extends WriterCommitMessage
+
+/** Append by default; `replaceAll` for copy-on-write group replacement;
+  * `truncate()` upgrades an append to an overwrite (INSERT OVERWRITE).
+  */
+private[sources] class DmlWriteBuilder(
+    table: DmlTable, writeSchema: StructType, replaceAll: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new DmlWriterFactory(writeSchema)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val incoming = messages.collect { case DmlCommit(rs) => rs }.flatten
+        table.synchronized {
+          table.rows =
+            if (replaceAll || truncateFirst) incoming
+            else table.rows ++ incoming
+        }
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+/** Copies incoming rows into compact serializable UnsafeRows.
+  *
+  * Row-level (ReplaceData) streams arrive UNprojected when the operation
+  * declares no required metadata attributes: Spark's plain
+  * `DataWritingSparkTask` hands the writer the full query-output row — a
+  * leading `__row_operation` INT marker, then the data columns
+  * (`LogicalWriteInfo.schema()` still reports only the data columns). The
+  * marker is detected by arity (numFields == schema+1), validated to be a
+  * write flavor (5=WRITE, 6=WRITE_WITH_METADATA — deleted rows never
+  * reach a ReplaceData stream), and dropped; plain appends project 1:1.
+  */
+private[sources] class DmlWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      private def proj(offset: Int) = UnsafeProjection.create(
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i + offset, f.dataType, f.nullable)
+        }.toIndexedSeq)
+      private lazy val dataProj = proj(0)
+      private lazy val markedProj = proj(1)
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      override def write(record: InternalRow): Unit =
+        if (record.numFields == schema.length + 1) {
+          val op = record.getInt(0)
+          require(op == 5 || op == 6, s"unexpected __row_operation marker $op")
+          buf += markedProj(record).copy()
+        } else buf += dataProj(record).copy()
+      override def commit(): WriterCommitMessage = DmlCommit(buf.toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}

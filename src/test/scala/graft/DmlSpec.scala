@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.connector.catalog.Identifier
+
+import graft.sources.{DmlCatalog, DmlTable}
+
+/** Row-level DML through the DataSource-V2 catalog (`graft.sources.DmlCatalog`):
+  * DELETE/UPDATE/MERGE must route through Spark's group-based
+  * RowLevelOperation rewrites and produce relationally-predicted state.
+  */
+class DmlSpec extends SparkSpecBase {
+
+  private def init(): Unit = {
+    Tables.register(spark, sf)
+    spark.conf.set("spark.sql.catalog.graft_dml", classOf[DmlCatalog].getName)
+  }
+
+  private def dmlTable(name: String): DmlTable = {
+    val cat = spark.sessionState.catalogManager.catalog("graft_dml")
+      .asInstanceOf[DmlCatalog]
+    cat.loadTable(Identifier.of(Array.empty, name)).asInstanceOf[DmlTable]
+  }
+
+  test("CTAS + INSERT INTO append + INSERT OVERWRITE truncate round-trip") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_dml.t_rt")
+    spark.sql("CREATE TABLE graft_dml.t_rt AS SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v FROM nation")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_rt").head.getLong(0) == 25)
+
+    spark.sql("INSERT INTO graft_dml.t_rt VALUES (CAST(100 AS BIGINT), 'EXTRA')")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_rt").head.getLong(0) == 26)
+
+    spark.sql("INSERT OVERWRITE graft_dml.t_rt SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation WHERE n_regionkey = 0")
+    val after = spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_rt").head.getLong(0)
+    val expect = spark.sql("SELECT COUNT(*) AS c FROM nation WHERE n_regionkey = 0").head.getLong(0)
+    assert(after == expect && after > 0)
+    spark.sql("DROP TABLE graft_dml.t_rt")
+  }
+
+  test("DELETE routes through the group-based row-level operation and filters rows") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_dml.t_del")
+    spark.sql("CREATE TABLE graft_dml.t_del AS SELECT c_custkey, c_acctbal FROM customer")
+    val before = spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_del").head.getLong(0)
+    val negatives = spark.sql("SELECT COUNT(*) AS c FROM customer WHERE c_acctbal < 0").head.getLong(0)
+    assert(negatives > 0, "fixture should contain overdrawn customers")
+
+    spark.sql("DELETE FROM graft_dml.t_del WHERE c_acctbal < 0")
+    assert(dmlTable("t_del").opsSeen.contains("DELETE"),
+      "DELETE must execute via SupportsRowLevelOperations, not a metadata path")
+    val after = spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_del").head.getLong(0)
+    assert(after == before - negatives)
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_del WHERE c_acctbal < 0").head.getLong(0) == 0)
+    spark.sql("DROP TABLE graft_dml.t_del")
+  }
+
+  test("UPDATE rewrites the group copy-on-write and preserves untouched rows") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_dml.t_upd")
+    spark.sql("CREATE TABLE graft_dml.t_upd AS SELECT c_custkey, c_mktsegment, c_acctbal FROM customer")
+    spark.sql("UPDATE graft_dml.t_upd SET c_mktsegment = 'X' WHERE c_custkey % 10 = 3")
+    assert(dmlTable("t_upd").opsSeen.contains("UPDATE"))
+
+    val got = spark.sql(
+      "SELECT c_custkey, c_mktsegment, c_acctbal FROM graft_dml.t_upd")
+    val expect = spark.sql(
+      """SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 3 THEN 'X' ELSE c_mktsegment END AS c_mktsegment,
+               c_acctbal FROM customer""")
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    spark.sql("DROP TABLE graft_dml.t_upd")
+  }
+
+  test("MERGE INTO exercises update + insert + not-matched-by-source delete") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_dml.t_mrg")
+    // target: nations 0..14 with a marker count; source: nations 10..24
+    spark.sql(
+      """CREATE TABLE graft_dml.t_mrg AS
+         SELECT CAST(n_nationkey AS BIGINT) AS k, CAST(1 AS BIGINT) AS hits
+         FROM nation WHERE n_nationkey < 15""")
+    spark.sql(
+      """MERGE INTO graft_dml.t_mrg t
+         USING (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation WHERE n_nationkey >= 10) s
+         ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET hits = t.hits + 1
+         WHEN NOT MATCHED THEN INSERT (k, hits) VALUES (s.k, CAST(0 AS BIGINT))
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(dmlTable("t_mrg").opsSeen.contains("MERGE"))
+
+    // survivors are exactly the source keys: 10..14 updated to 2, 15..24 inserted as 0
+    val rows = spark.sql("SELECT k, hits FROM graft_dml.t_mrg ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = (10L to 14L).map(k => (k, 2L)) ++ (15L to 24L).map(k => (k, 0L))
+    assert(rows == expect)
+    spark.sql("DROP TABLE graft_dml.t_mrg")
+  }
+
+  test("declared DML queries match their relational mirrors in-engine") {
+    // The DuckDB oracle is the driver's job; here each declared query's
+    // result must equal its own oracle text's relational meaning computed
+    // by Spark itself (same final-state semantics, independent plan).
+    init()
+    for ((name, mirror) <- Seq(
+        "q_dml_delete" -> """
+          WITH dml_del AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+            WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 150000.0))
+          SELECT o_orderstatus, COUNT(*) AS n FROM dml_del GROUP BY o_orderstatus""",
+        "q_dml_merge" -> s"""
+          WITH t AS (
+            SELECT c_custkey AS k, c_acctbal AS bal FROM customer WHERE c_custkey % 2 = 0),
+          s AS (SELECT o_custkey AS k, COUNT(*) AS cnt, ${Exact.dsumSql("o_totalprice")} AS spend
+                FROM orders GROUP BY o_custkey)
+          SELECT s.k AS k,
+                 CASE WHEN t.k IS NOT NULL THEN t.bal + s.spend ELSE 0.0 END AS bal,
+                 s.cnt AS n_orders
+          FROM s LEFT JOIN t ON t.k = s.k""")) {
+      val got = SparkEntry.queries(name)(spark, sf)
+      val gotCols = got.columns.sorted
+      val mir = spark.sql(mirror)
+      val g = got.selectExpr(gotCols.filter(mir.columns.contains): _*)
+      val m = mir.selectExpr(gotCols.filter(mir.columns.contains): _*)
+      assert(g.exceptAll(m).isEmpty && m.exceptAll(g).isEmpty, s"$name mismatch")
+    }
+  }
+}
