@@ -471,7 +471,73 @@ object Sim extends QModule {
     sqlQ(kmeansSql("spark")),
     Some(kmeansSql("duck")))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    * block by LEARNED cluster (the IVF cell assignment — no stored label
+    * needed at decision time), compute pairwise cosine only inside each
+    * cell, and remove every vector that has a higher-priority (lower
+    * vec_id) near-duplicate (cos ≥ 0.4) in its cell. Output = per-cell
+    * population and survivor counts — the curation summary a pipeline
+    * acts on.
+    *
+    * vs [[qSimEmbdup]]: that lists pairs inside a STORED label block;
+    * this makes the remove/keep DECISION inside a learned block — the
+    * shape that works when no labels exist, which is the 100 TB reality.
+    *
+    * Scale: pair cost is Σ cell², which is exactly the knob SemDeDup
+    * turns — train enough cells that each is small (k ≈ n/10⁴ keeps
+    * cells ~10⁴ rows); the cell equi-join never plans all-pairs, the
+    * removal set is a distinct projection, survivors = one left-anti
+    * join. Index build is memoized per (session, sf-dir) like the ANN
+    * probes ([[ivfIndex]]), so the decision pass never retrains the
+    * quantizer.
+    */
+  val qDedupSemantic = QDef(
+    "q_dedup_semantic",
+    (s, d) => {
+      val (_, lists) = ivfIndex(s, d)
+      val a = lists.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nrm").as("an"), col("cell"))
+      val b = lists.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("bn"), col("cell"))
+      val removed = a.join(b, "cell")
+        .where(col("a_id") < col("b_id"))
+        .where((expr(dot("spark", "ae", "be")) / (col("an") * col("bn")))
+          >= lit(0.4))
+        .select(col("b_id").as("vec_id")).distinct()
+      lists.join(removed.withColumn("rm", lit(1)), Seq("vec_id"), "left_outer")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rm").isNull, 1L).otherwise(0L)).as("n_kept"))
+        .select("cell", "n_total", "n_kept")
+    },
+    Some {
+      val d = (a: String, b: String) => dot("duck", a, b)
+      s"""
+      WITH comp AS (${ivfCompRel("duck")}),
+      cent AS (${ivfCentSel("duck")}),
+      e AS (SELECT vec_id, embedding,
+                   sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
+      dist AS (SELECT e.vec_id, c.c_label,
+                      ${d2Expr("duck", "e.embedding", "c.ce")} AS d2
+               FROM e CROSS JOIN cent c),
+      asg AS (SELECT vec_id, c_label FROM (
+                SELECT vec_id, c_label,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+                FROM dist) x WHERE rn = 1),
+      lists AS (SELECT e.vec_id, e.embedding, e.nrm, a.c_label AS cell
+                FROM e JOIN asg a ON a.vec_id = e.vec_id),
+      rem AS (SELECT DISTINCT b.vec_id
+              FROM lists a JOIN lists b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE ${d("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= CAST(0.4 AS DOUBLE)),
+      flagged AS (SELECT l.cell, r.vec_id AS rm
+                  FROM lists l LEFT JOIN rem r ON r.vec_id = l.vec_id)
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN rm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM flagged GROUP BY cell"""
+    })
+
   val defs: Seq[QDef] = Seq(
     qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf,
-    qSimIvfTopk, qSimKmeans)
+    qSimIvfTopk, qSimKmeans, qDedupSemantic)
 }
