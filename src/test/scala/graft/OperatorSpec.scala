@@ -755,4 +755,37 @@ class OperatorSpec extends SparkSpecBase {
     assert(j39 >= 0 && s39.linesIterator.drop(j39).count(_.contains("HashAggregate")) >= 2,
       s"Q39 self-joined before aggregating to the grain:\n$s39")
   }
+
+  test("TPC-DS batch-7 shapes: semi+anti coexist with distinct-count, scalar subqueries stay independent, calendar self-join runs on aggregated grain") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q94: the EXISTS and NOT EXISTS both decorrelate to l_orderkey equi
+    // joins (semi + anti) under the global COUNT(DISTINCT) — no nested
+    // loop anywhere
+    val s94 = plan("q_tpcds_q94")
+    assert(s94.contains("LeftSemi"), s"Q94 EXISTS did not become a semi join:\n$s94")
+    assert(s94.contains("LeftAnti"), s"Q94 NOT EXISTS did not become an anti join:\n$s94")
+    assert(!s94.contains("CartesianProduct") && !s94.contains("BroadcastNestedLoop"),
+      s"Q94 degraded to a non-equi join:\n$s94")
+    // Q9: all 15 scalar subqueries plan as independent single-row
+    // aggregates with the band predicate PUSHED to each scan
+    val s9 = plan("q_tpcds_q9")
+    assert(s9.linesIterator.count(_.contains("Subquery")) >= 15,
+      s"Q9 lost scalar subqueries:\n$s9")
+    assert(s9.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("GreaterThanOrEqual(l_quantity")),
+      s"Q9 band predicates not pushed to the scans:\n$s9")
+    // Q2: the week self-join consumes aggregate output (year×week grain),
+    // never order-grain rows
+    val s2 = plan("q_tpcds_q2")
+    val j2 = s2.linesIterator.indexWhere(_.contains("Join"))
+    assert(j2 >= 0 && s2.linesIterator.drop(j2).count(_.contains("HashAggregate")) >= 2,
+      s"Q2 self-joined before aggregating to the weekly grain:\n$s2")
+    // Q62: one fact-fact equi join, ONE aggregate — the CASE buckets fuse
+    // into a single pass (no per-bucket re-scan)
+    val s62 = plan("q_tpcds_q62")
+    val scans62 = s62.linesIterator.count(_.contains("FileScan parquet") )
+    assert(scans62 <= 2, s"Q62 re-scans per bucket ($scans62 scans):\n$s62")
+    assert(!s62.contains("CartesianProduct"), s"Q62 degraded:\n$s62")
+  }
 }
