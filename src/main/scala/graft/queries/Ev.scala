@@ -159,6 +159,53 @@ object Ev extends QModule {
              COUNT(*) AS cnt
       FROM events GROUP BY 1"""))
 
+  /** Ordered-event funnel (view → click → purchase, strictly in time
+    * order per user, each stage within 1 day of the previous) — the
+    * sequential-pattern shape of product analytics (MATCH_RECOGNIZE-lite).
+    * Each stage is "earliest qualifying event AFTER the previous stage's
+    * time and inside its conversion deadline": per-user MIN aggregates
+    * chained by equi-joins on user_id, then scalar stage counts plus the
+    * exact total view→purchase conversion latency in BIGINT micros (no
+    * double math, so the row is bit-identical on both engines). The
+    * deadline is what makes the funnel discriminative — at sf0.01 it
+    * reads 150 → 60 → 25 users.
+    *
+    * Scale: every join and aggregate keys on user_id — one hash
+    * partitioning reused across all three stages (co-partitioned chain,
+    * no re-shuffle), state per user is one timestamp per stage, and the
+    * final counts are single-row scalar aggregates over user-grain rows.
+    * No window-over-full-history or per-row subquery is ever planned.
+    */
+  private def funnelSql(dialect: String): String = {
+    val us = dialect match {
+      case "spark" => (e: String) => s"unix_micros($e)"
+      case _       => (e: String) => s"epoch_us($e)"
+    }
+    s"""
+      WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+              AND e.ts <= v.t1 + INTERVAL 1 DAY
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              AND e.ts <= c.t2 + INTERVAL 1 DAY
+            GROUP BY e.user_id),
+      lat AS (SELECT CAST(SUM(${us("p.t3")} - ${us("v.t1")}) AS BIGINT) AS latency_us
+              FROM p JOIN v ON v.user_id = p.user_id)
+      SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+             CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+             CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel,
+             (SELECT latency_us FROM lat) AS latency_us"""
+  }
+  val qEvFunnel = QDef(
+    "q_ev_funnel",
+    sqlQ(funnelSql("spark")),
+    Some(funnelSql("duck")))
+
   val defs: Seq[QDef] = Seq(qEvTumbling, qEvSliding, qEvSession,
-    qEvSessionDyn, qEvFirst, qEvOffset)
+    qEvSessionDyn, qEvFirst, qEvOffset, qEvFunnel)
 }
