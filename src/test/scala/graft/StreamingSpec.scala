@@ -861,6 +861,48 @@ class StreamingSpec extends SparkSpecBase {
       assert(got == want, s"$nm diverged from batch session_window: $got vs $want")
     }
   }
+
+  test("state data source reads checkpointed streaming state offline (state-metadata + statestore)") {
+    // The ops surface for debugging a deployed stateful pipeline: after
+    // the query stops, its checkpoint remains queryable as BATCH tables —
+    // `state-metadata` lists the stateful operators, `statestore` returns
+    // the key/value state rows — with NO streaming query running.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-statesrc").toString
+    val es = batchEvents.take(64)
+    val input = MemoryStream[Event]
+    val q = input.toDF()
+      .groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName("t_state_src")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      chunked(es, 4).foreach { c => input.addData(c); q.processAllAvailable() }
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val meta = spark.read.format("state-metadata").load(ckpt)
+    val metaRows = meta.select("operatorId", "operatorName", "stateStoreName")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(metaRows.exists { case (id, name, store) =>
+      id == 0L && name == "stateStoreSave" && store == "default" },
+      s"state-metadata should list the aggregation's stateStoreSave operator: ${metaRows.toSeq}")
+
+    val state = spark.read.format("statestore").load(ckpt)
+    // schema: key struct (group key), value struct (agg buffer), partition_id
+    val valueField = state.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.find(_.dataType == org.apache.spark.sql.types.LongType)
+      .getOrElse(fail("no LongType agg buffer column in statestore value"))
+    val got = state
+      .select(col("key.event_type"), col(s"value.`${valueField.name}`").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = es.groupBy(_.event_type).view.mapValues(_.size.toLong).toMap
+    assert(got == want,
+      s"offline statestore read must equal the fed per-type counts: $got vs $want")
+  }
 }
 
 object StreamingSpec {
