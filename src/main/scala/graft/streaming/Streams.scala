@@ -332,4 +332,73 @@ object Streams {
         timeMode,
         OutputMode.Update())
   }
+
+  /** One funnel-stage transition: `stage` 1 = first view, 2 = click
+    * within the deadline after it, 3 = purchase within the deadline after
+    * that; `at_us` = the stage's event time.
+    */
+  final case class FunnelOut(user_id: Long, stage: Int, at_us: Long)
+
+  private[streaming] final case class FunnelState(stage: Int, lastUs: Long)
+
+  /** Streaming twin of the batch funnel query (`q_ev_funnel`): a per-user
+    * monotone state machine — view → click ≤ deadline after the first
+    * view → purchase ≤ deadline after that click — held as ONE tiny
+    * `ValueState[(stage, lastUs)]` per user, emitting a row per stage
+    * transition. For a ts-ordered feed the greedy machine computes
+    * exactly the batch semantics ("earliest qualifying event after the
+    * previous stage"), which the spec asserts by equivalence; rows inside
+    * a micro-batch are sorted by (ts, event_id) because the post-shuffle
+    * iterator order is not the feed order.
+    *
+    * Scale: state per user is two primitives regardless of history
+    * length, transitions are O(events); this is the shape product-
+    * analytics funnels run at 100 TB — no per-user event list is ever
+    * buffered (contrast a window-function batch funnel, which sorts each
+    * user's full history).
+    */
+  final class FunnelProcessor(deadlineUs: Long)
+      extends StatefulProcessor[Long, Event, FunnelOut] {
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState](
+        "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Event], timers: TimerValues): Iterator[FunnelOut] = {
+      var cur = if (st.exists()) st.get() else FunnelState(0, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+      for (e <- rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+        val us = micros(e.ts)
+        val advance = cur.stage match {
+          case 0 => e.event_type == "view"
+          case 1 => e.event_type == "click" &&
+            us > cur.lastUs && us <= cur.lastUs + deadlineUs
+          case 2 => e.event_type == "purchase" &&
+            us > cur.lastUs && us <= cur.lastUs + deadlineUs
+          case _ => false
+        }
+        if (advance) {
+          cur = FunnelState(cur.stage + 1, us)
+          out += FunnelOut(userId, cur.stage, us)
+        }
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  def funnelTWS(
+      events: Dataset[Event],
+      deadlineUs: Long = 24L * 3600 * 1000000L): Dataset[FunnelOut] = {
+    implicit val outEnc: org.apache.spark.sql.Encoder[FunnelOut] =
+      Encoders.product[FunnelOut]
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(
+        new FunnelProcessor(deadlineUs),
+        TimeMode.None(),
+        OutputMode.Append())
+  }
 }

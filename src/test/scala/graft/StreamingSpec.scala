@@ -862,6 +862,43 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming funnel (transformWithState) equals the batch q_ev_funnel stages") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val es = batchEvents // ts-ordered feed — the equivalence precondition
+    val input = MemoryStream[Event]
+    val q = Streams.funnelTWS(input.toDS())
+      .writeStream.format("memory").queryName("t_funnel_tws")
+      .outputMode(OutputMode.Append).start()
+    try {
+      chunked(es).foreach { c => input.addData(c); q.processAllAvailable() }
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_funnel_tws")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    // batch mirror: the q_ev_funnel stage CTEs over the same events
+    es.toDS().createOrReplaceTempView("t_funnel_in")
+    val want = spark.sql("""
+      WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM t_funnel_in
+                 WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS t2
+            FROM t_funnel_in e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+              AND e.ts <= v.t1 + INTERVAL 1 DAY GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS t3
+            FROM t_funnel_in e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              AND e.ts <= c.t2 + INTERVAL 1 DAY GROUP BY e.user_id)
+      SELECT user_id, 1 AS stage, unix_micros(t1) AS at_us FROM v
+      UNION ALL SELECT user_id, 2, unix_micros(t2) FROM c
+      UNION ALL SELECT user_id, 3, unix_micros(t3) FROM p""")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == want,
+      s"streaming funnel diverged from batch: ${got.size} vs ${want.size} transitions")
+    assert(want.count(_._1._2 == 3) > 0, "fixture should complete some funnels")
+  }
+
   test("state data source reads checkpointed streaming state offline (state-metadata + statestore)") {
     // The ops surface for debugging a deployed stateful pipeline: after
     // the query stops, its checkpoint remains queryable as BATCH tables —
