@@ -210,7 +210,32 @@ object Sql extends QModule {
              CAST(${graft.Exact.usumSql("l_extendedprice * (1 - l_discount)", 4)} AS DOUBLE) / 1e4 AS net_rev
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** SQL pipe syntax (Spark 4.0 `|>` operators, SPARK-49555): the same
+    * relational program written as a left-to-right pipeline — FROM |>
+    * WHERE |> AGGREGATE |> WHERE(post-agg HAVING) |> ORDER BY. Parses to
+    * the identical logical plan as the nested form, which the standard-
+    * SQL oracle proves by hash equality (DuckDB has no pipe syntax, so
+    * this is one of the few queries whose engine text and oracle text
+    * legitimately differ).
+    */
+  val qSqlPipe = QDef(
+    "q_sql_pipe",
+    sqlQ(s"""
+      FROM lineitem
+      |> WHERE l_quantity >= 10
+      |> AGGREGATE COUNT(*) AS cnt, ${Exact.dsumSql("l_extendedprice", 2)} AS rev
+         GROUP BY l_returnflag, l_linestatus
+      |> WHERE cnt > 100
+      |> ORDER BY l_returnflag, l_linestatus"""),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+             ${Exact.dsumSql("l_extendedprice", 2)} AS rev
+      FROM lineitem WHERE l_quantity >= 10
+      GROUP BY l_returnflag, l_linestatus
+      HAVING COUNT(*) > 100
+      ORDER BY l_returnflag, l_linestatus"""))
+
   val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
     qSqlNestedSet, qSqlLateral, qSqlNatural, qSqlGroupAll, qSqlLateralAlias,
-    qSqlVariant, qSqlRecursive, qSqlPivot, qSqlUnpivot, qSqlUdf)
+    qSqlVariant, qSqlRecursive, qSqlPivot, qSqlUnpivot, qSqlUdf, qSqlPipe)
 }

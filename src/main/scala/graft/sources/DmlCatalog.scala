@@ -60,6 +60,23 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces {
     Option(tables.get(key(ident)))
       .getOrElse(throw new NoSuchTableException(ident))
 
+  /** Time travel (`VERSION AS OF n`): version n = the table state after
+    * its n-th committed write (CTAS population = version 0), served as a
+    * read-only snapshot. The version chain lives with the table data —
+    * the same snapshot-lineage contract a lakehouse format keeps in its
+    * metadata log.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadTable(ident).asInstanceOf[DmlTable]
+    val v = try version.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"non-numeric table version '$version'")
+    }
+    val snap = t.snapshotAt(v).getOrElse(throw new IllegalArgumentException(
+      s"table ${key(ident)} has no version $v (versions 0..${t.latestVersion})"))
+    new DmlSnapshot(s"${key(ident)}@v$v", t.schema(), snap)
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -110,8 +127,15 @@ private[graft] class DmlTable(tableName: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   @volatile private[sources] var rows: Array[InternalRow] = Array.empty
+  /** Snapshot per committed write, for `VERSION AS OF` (index = version). */
+  private val history = new util.concurrent.CopyOnWriteArrayList[Array[InternalRow]]()
   /** Observability for specs: row-level commands this table executed. */
   private[graft] val opsSeen = new util.concurrent.CopyOnWriteArrayList[String]()
+
+  private[sources] def recordVersion(): Unit = history.add(rows)
+  private[sources] def snapshotAt(v: Int): Option[Array[InternalRow]] =
+    if (v >= 0 && v < history.size) Some(history.get(v)) else None
+  private[sources] def latestVersion: Int = history.size - 1
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -172,6 +196,18 @@ private[sources] class DmlScan(schema: StructType, snapshot: Array[InternalRow])
 
 private[sources] case class DmlSlice(rows: Array[InternalRow]) extends InputPartition
 
+/** A read-only historical version of a [[DmlTable]] (`VERSION AS OF`). */
+private[sources] class DmlSnapshot(
+    snapName: String, snapSchema: StructType, snap: Array[InternalRow])
+    extends Table with SupportsRead {
+  override def name(): String = snapName
+  override def schema(): StructType = snapSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new DmlScan(snapSchema, snap)
+}
+
 private[sources] case class DmlCommit(rows: Array[InternalRow]) extends WriterCommitMessage
 
 /** Append by default; `replaceAll` for copy-on-write group replacement;
@@ -193,6 +229,7 @@ private[sources] class DmlWriteBuilder(
           table.rows =
             if (replaceAll || truncateFirst) incoming
             else table.rows ++ incoming
+          table.recordVersion()
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -96,6 +96,24 @@ class DmlSpec extends SparkSpecBase {
     spark.sql("DROP TABLE graft_dml.t_mrg")
   }
 
+  test("VERSION AS OF time travel reads each committed snapshot") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_dml.t_tt")
+    spark.sql("CREATE TABLE graft_dml.t_tt AS SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation")
+    spark.sql("DELETE FROM graft_dml.t_tt WHERE k >= 10")
+    spark.sql("INSERT INTO graft_dml.t_tt VALUES (CAST(99 AS BIGINT))")
+    def countAt(v: Int): Long =
+      spark.sql(s"SELECT COUNT(*) AS c FROM graft_dml.t_tt VERSION AS OF $v").head.getLong(0)
+    assert(countAt(0) == 25, "version 0 = CTAS population")
+    assert(countAt(1) == 10, "version 1 = after DELETE")
+    assert(countAt(2) == 11, "version 2 = after INSERT")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_tt").head.getLong(0) == 11,
+      "bare read = latest")
+    val e = intercept[Exception](countAt(7))
+    assert(e.getMessage.contains("no version"), s"wrong error: ${e.getMessage}")
+    spark.sql("DROP TABLE graft_dml.t_tt")
+  }
+
   test("declared DML queries match their relational mirrors in-engine") {
     // The DuckDB oracle is the driver's job; here each declared query's
     // result must equal its own oracle text's relational meaning computed
