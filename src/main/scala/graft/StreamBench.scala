@@ -68,7 +68,7 @@ object StreamBench {
     * (rows/sec steady-state, p50 ms, p95 ms, measured batches, rows).
     */
   private def run(
-      spark: SparkSession, name: String, stateful: Boolean, provider: String,
+      spark: SparkSession, name: String, graph: String, provider: String,
       rowsPerBatch: Int, batches: Int, warmup: Int): (Double, Long, Long, Int, Long) = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sb-$name").toString
@@ -77,12 +77,31 @@ object StreamBench {
       .option("numPartitions", "8")
       .load()
       .select(col("timestamp").as("event_time"), col("value"))
-    val df: DataFrame =
-      if (!stateful) {
+    val df: DataFrame = graph match {
+      case "stateless" =>
         src.select(col("value"), col("event_time"),
             pmod(col("value"), lit(100)).as("agg_key"))
           .where(col("value") % 7 =!= 0)
-      } else {
+      case "tws" =>
+        // custom-state path (transformWithState): the funnel machine from
+        // Streams — one tiny ValueState per user, every row a point
+        // read+write against the store. user = value % 50k keeps ~50k hot
+        // keys; rate-micro-batch's monotone `value` makes each user's
+        // events arrive in ts order, so the machine does real transitions.
+        import org.apache.spark.sql.Encoders
+        implicit val evEnc: org.apache.spark.sql.Encoder[graft.streaming.Streams.Event] =
+          Encoders.product[graft.streaming.Streams.Event]
+        val events = src.select(
+          col("value").as("event_id"),
+          col("event_time").cast("timestamp").as("ts"),
+          pmod(col("value"), lit(50000)).cast("long").as("user_id"),
+          element_at(
+            array(lit("view"), lit("click"), lit("purchase")),
+            (pmod(col("value"), lit(3)) + 1).cast("int")).as("event_type"),
+          (col("value") % 100 / 10.0).as("value"))
+          .as[graft.streaming.Streams.Event]
+        graft.streaming.Streams.funnelTWS(events).toDF()
+      case _ =>
         src
           // two bit-identical copies of every row = real dedup work
           .select(col("event_time"), col("value"),
@@ -93,12 +112,15 @@ object StreamBench {
           .groupBy(window(col("event_time"), "5 seconds"),
             pmod(col("value"), lit(100)).as("agg_key"))
           .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
-      }
+    }
     val listener = new Progress
     spark.streams.addListener(listener)
     val q = df.writeStream
       .format("noop")
-      .outputMode(if (stateful) "update" else "append")
+      .outputMode(graph match {
+        case "stateless" | "tws" => "append"
+        case _ => "update"
+      })
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime(0L))
       .queryName(s"streambench-$name")
@@ -149,12 +171,13 @@ object StreamBench {
     val hdfs =
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val configs = Seq(
-      ("stateless", false, rocks),
-      ("stateful_rocksdb", true, rocks),
-      ("stateful_hdfs", true, hdfs))
-    val results = configs.map { case (name, stateful, provider) =>
+      ("stateless", "stateless", rocks),
+      ("stateful_rocksdb", "dedupAgg", rocks),
+      ("stateful_hdfs", "dedupAgg", hdfs),
+      ("stateful_tws", "tws", rocks))
+    val results = configs.map { case (name, graph, provider) =>
       val (thru, p50, p95, n, rows) =
-        run(spark, name, stateful, provider, rowsPerBatch, batches, warmup)
+        run(spark, name, graph, provider, rowsPerBatch, batches, warmup)
       System.err.println(
         f"[streambench] $name%-17s $thru%12.0f rows/s  p50 $p50%4d ms  p95 $p95%4d ms  ($n batches, $rows rows)")
       name -> (thru, p50, p95, n, rows)
