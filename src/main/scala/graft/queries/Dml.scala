@@ -107,5 +107,47 @@ object Dml extends QModule {
              s.cnt AS n_orders
       FROM s LEFT JOIN t ON t.k = s.k"""))
 
-  def defs: Seq[QDef] = Seq(qDmlDelete, qDmlUpdate, qDmlMerge)
+  // ---- VERSION AS OF time travel ----------------------------------------
+  // Three committed states (CTAS → DELETE → UPDATE), then one query reads
+  // ALL of them by version plus the latest, proving snapshot isolation of
+  // the version chain; the oracle recomputes each state relationally.
+  val qDmlTimetravel = QDef(
+    "q_dml_timetravel",
+    dmlQ(
+      Seq(
+        "DROP TABLE IF EXISTS graft_dml.dml_tt",
+        """CREATE TABLE graft_dml.dml_tt AS
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+        "DELETE FROM graft_dml.dml_tt WHERE o_orderstatus = 'O'",
+        """UPDATE graft_dml.dml_tt SET o_totalprice = o_totalprice * 2
+           WHERE o_orderstatus = 'F'"""),
+      s"""
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+             ${Exact.dsumSql("total", 2)} AS sum_price
+      FROM (
+        SELECT 0 AS v, o_totalprice AS total
+        FROM graft_dml.dml_tt VERSION AS OF 0
+        UNION ALL
+        SELECT 1, o_totalprice FROM graft_dml.dml_tt VERSION AS OF 1
+        UNION ALL
+        SELECT 2, o_totalprice FROM graft_dml.dml_tt VERSION AS OF 2
+        UNION ALL
+        SELECT 3, o_totalprice FROM graft_dml.dml_tt) s
+      GROUP BY v"""),
+    Some(s"""
+      WITH v0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      v1 AS (SELECT * FROM v0 WHERE NOT (o_orderstatus = 'O')),
+      v2 AS (SELECT o_orderkey, o_orderstatus,
+                    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                         ELSE o_totalprice END AS o_totalprice FROM v1)
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+             ${Exact.dsumSql("total", 2)} AS sum_price
+      FROM (
+        SELECT 0 AS v, o_totalprice AS total FROM v0
+        UNION ALL SELECT 1, o_totalprice FROM v1
+        UNION ALL SELECT 2, o_totalprice FROM v2
+        UNION ALL SELECT 3, o_totalprice FROM v2) s
+      GROUP BY v"""))
+
+  def defs: Seq[QDef] = Seq(qDmlDelete, qDmlUpdate, qDmlMerge, qDmlTimetravel)
 }

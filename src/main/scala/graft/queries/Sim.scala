@@ -310,8 +310,12 @@ object Sim extends QModule {
     * [[qSimTopk]]; the oracle verifies the computation bit-exactly (all
     * distances are ordered folds, ties broken on (d2, cell) / (cos, id)).
     */
-  private def ivfTopkSql(dialect: String): String = {
+  private def ivfTopkSql(
+      dialect: String,
+      qFilter: String = "WHERE vec_id < 10",
+      k: Int = 5): String = {
     val d = (a: String, b: String) => dot(dialect, a, b)
+    val probeFilter = if (qFilter.isEmpty) "" else qFilter.replace("WHERE ", "WHERE dist.")
     s"""
       WITH comp AS (${ivfCompRel(dialect)}),
       cent AS (${ivfCentSel(dialect)}),
@@ -326,11 +330,11 @@ object Sim extends QModule {
                 FROM dist) a WHERE rn = 1),
       lists AS (SELECT e.vec_id, e.embedding, e.nrm, a.c_label AS cell
                 FROM e JOIN asg a ON a.vec_id = e.vec_id),
-      q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
+      q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e $qFilter),
       probe AS (SELECT q_id, c_label AS cell FROM (
-                  SELECT vec_id AS q_id, c_label,
-                         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
-                  FROM dist WHERE vec_id < 10) p WHERE rn <= 2),
+                  SELECT dist.vec_id AS q_id, c_label,
+                         row_number() OVER (PARTITION BY dist.vec_id ORDER BY d2, c_label) AS rn
+                  FROM dist $probeFilter) p WHERE rn <= 2),
       cand AS (SELECT q.q_id, l.vec_id AS n_id,
                       ${d("q.qe", "l.embedding")} / (q.qn * l.nrm) AS cos_sim
                FROM q JOIN probe p ON p.q_id = q.q_id
@@ -338,7 +342,7 @@ object Sim extends QModule {
       r AS (SELECT q_id, n_id, cos_sim,
                    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rnk
             FROM cand)
-      SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5"""
+      SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= $k"""
   }
 
   /** The materialized IVF index (VERDICT r6 #2): Spark inlines
@@ -430,6 +434,45 @@ object Sim extends QModule {
     },
     Some(ivfTopkSql("duck")),
     bench = true)
+
+  /** Corpus-wide k-NN JOIN: every vector's top-3 neighbors through the
+    * same memoized IVF index (nprobe = 2) — the candidate-generation
+    * shape of embedding curation (each doc gets its nearest neighbors,
+    * e.g. to propagate labels or pick diverse anchors), where
+    * [[qSimIvfTopk]] answers point queries. Scale: the probe side is now
+    * the WHOLE corpus, so the plan's cost is n · nprobe · (n/cells)
+    * candidate pairs — the cells knob bounds it exactly as in
+    * [[qDedupSemantic]]; everything joins on `cell`, nothing all-pairs.
+    * The oracle replicates the probe logic, so the compare verifies the
+    * approximate computation bit-exactly (not recall — that is measured
+    * against brute force in the spec for the point-query twin).
+    */
+  val qSimKnnJoin = QDef(
+    "q_sim_knn_join",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (cent, lists) = ivfIndex(s, d)
+      val q = lists.select(
+        col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val probe = q
+        .crossJoin(broadcast(cent))
+        .withColumn("__d2", expr(d2Expr("spark", "qe", "ce")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("__d2"), col("c_label"))))
+        .where(col("__rn") <= 2)
+        .select(col("q_id"), col("c_label").as("cell"))
+      val l = lists.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("cell"))
+      q.join(probe, "q_id").join(l, "cell")
+        .where(col("n_id") =!= col("q_id"))
+        .withColumn("cos_sim", expr(dot("spark", "qe", "ne")) / (col("qn") * col("nn")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id")))
+          .cast("int"))
+        .where(col("rnk") <= 3)
+        .select("q_id", "n_id", "cos_sim", "rnk")
+    },
+    Some(ivfTopkSql("duck", qFilter = "", k = 3)))
 
   /** One full Lloyd (k-means) iteration: assign every vector to its
     * nearest centroid ([[qSimIvf]] as a CTE), then recompute the centroid
@@ -539,5 +582,5 @@ object Sim extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf,
-    qSimIvfTopk, qSimKmeans, qDedupSemantic)
+    qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimKnnJoin)
 }
