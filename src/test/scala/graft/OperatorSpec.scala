@@ -788,4 +788,31 @@ class OperatorSpec extends SparkSpecBase {
     assert(scans62 <= 2, s"Q62 re-scans per bucket ($scans62 scans):\n$s62")
     assert(!s62.contains("CartesianProduct"), s"Q62 degraded:\n$s62")
   }
+
+  test("TPC-DS batch-8 shapes: cross-table OR rides the equi join, date-window chain stays keyed") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q13: the three-way OR references both join sides, so it must stay a
+    // residual on a plain custkey equi-join — never a nested loop, and
+    // the join itself never degrades
+    val s13 = plan("q_tpcds_q13")
+    assert(!s13.contains("CartesianProduct") && !s13.contains("BroadcastNestedLoop"),
+      s"Q13 OR-bands degraded the join:\n$s13")
+    assert(s13.contains("BETWEEN") || s13.contains("&&") || s13.contains("||") ||
+      s13.linesIterator.exists(l => l.contains("Filter") && l.contains("BUILDING")),
+      s"Q13 lost the band disjunction:\n$s13")
+    // Q72: the shipment-overlap join is an EQUI join on l_partkey with the
+    // 5-day window as a residual condition — bounded fan-out, no cartesian
+    val s72 = plan("q_tpcds_q72")
+    assert(!s72.contains("CartesianProduct") && !s72.contains("BroadcastNestedLoop"),
+      s"Q72 window join degraded:\n$s72")
+    assert(s72.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")) && l.contains("l_partkey")),
+      s"Q72 lost the partkey equi-join:\n$s72")
+    // the anchor-week filter pushes to l1's scan
+    assert(s72.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("l_shipdate")),
+      s"Q72 anchor-week filter not pushed:\n$s72")
+  }
 }
