@@ -472,7 +472,8 @@ object Sim extends QModule {
         .where(col("rnk") <= 3)
         .select("q_id", "n_id", "cos_sim", "rnk")
     },
-    Some(ivfTopkSql("duck", qFilter = "", k = 3)))
+    Some(ivfTopkSql("duck", qFilter = "", k = 3)),
+    bench = true)
 
   /** One full Lloyd (k-means) iteration: assign every vector to its
     * nearest centroid ([[qSimIvf]] as a CTE), then recompute the centroid

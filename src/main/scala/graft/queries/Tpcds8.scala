@@ -55,7 +55,7 @@ object Tpcds8 extends QModule {
       WHERE l1.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
         AND l1.l_shipdate < TIMESTAMP '1997-03-08 00:00:00'
       GROUP BY p_brand"""
-  val qTpcdsQ72 = QDef("q_tpcds_q72", sqlQ(q72Sql), Some(q72Sql))
+  val qTpcdsQ72 = QDef("q_tpcds_q72", sqlQ(q72Sql), Some(q72Sql), bench = true)
 
   val defs: Seq[QDef] = Seq(qTpcdsQ13, qTpcdsQ72)
 }
