@@ -296,4 +296,53 @@ class PropertySpec extends SparkSpecBase {
       got == want
     }, cases = 8)
   }
+
+  test("MERGE INTO with conditional clauses equals the executable reference semantics") {
+    // Random unique-keyed target/source through the REAL DML pipeline
+    // (DmlCatalog group-based copy-on-write), with every clause family
+    // conditioned: MATCHED AND delta<0 → DELETE, MATCHED → UPDATE,
+    // NOT MATCHED AND delta>=0 → INSERT, NOT MATCHED BY SOURCE → UPDATE
+    // (negate). The reference is computed row-by-row in Scala.
+    spark.conf.set("spark.sql.catalog.graft_dml",
+      classOf[graft.sources.DmlCatalog].getName)
+    val sideGen: Gen[Map[Long, Long]] = for {
+      ks <- Gen.someOf(0L to 6L)
+      vs <- Gen.listOfN(ks.size, Gen.choose(-9L, 9L))
+    } yield ks.zip(vs).toMap
+    val gen = for { t <- sideGen; s <- sideGen } yield (t, s)
+    check("merge", Prop.forAll(gen) { case (target, source) =>
+      spark.sql("DROP TABLE IF EXISTS graft_dml.prop_mrg")
+      def values(m: Map[Long, Long]): String =
+        if (m.isEmpty) "VALUES (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))"
+        else m.toSeq.sorted
+          .map { case (k, v) => s"(CAST($k AS BIGINT), CAST($v AS BIGINT))" }
+          .mkString("VALUES ", ", ", "")
+      val tWhere = if (target.isEmpty) "WHERE k IS NULL" else ""
+      spark.sql(
+        s"CREATE TABLE graft_dml.prop_mrg AS SELECT * FROM (${values(target)}) AS t(k, v) $tWhere")
+      spark.sql(
+        s"""MERGE INTO graft_dml.prop_mrg t
+           USING (SELECT * FROM (${values(source)}) AS s0(k, delta)
+                  WHERE k IS NOT NULL) s
+           ON t.k = s.k
+           WHEN MATCHED AND s.delta < 0 THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = t.v + s.delta
+           WHEN NOT MATCHED AND s.delta >= 0 THEN INSERT (k, v) VALUES (s.k, s.delta)
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -t.v""")
+      val got = spark.sql("SELECT k, v FROM graft_dml.prop_mrg")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fromTarget = target.flatMap { case (k, v) =>
+        source.get(k) match {
+          case Some(d) if d < 0 => None // matched delete
+          case Some(d) => Some(k -> (v + d)) // matched update
+          case None => Some(k -> -v) // not matched by source
+        }
+      }
+      val inserted = (source -- target.keys).collect {
+        case (k, d) if d >= 0 => k -> d
+      }
+      val want = (fromTarget ++ inserted).toSet
+      got == want
+    }, cases = 8)
+  }
 }
