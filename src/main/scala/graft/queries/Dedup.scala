@@ -293,7 +293,42 @@ object Dedup extends QModule {
       .select(col("id").as("doc_id"), col("label").as("rep")),
     qDedupCluster.oracle)
 
+  /** Canonical-document selection — the decision step AFTER clustering:
+    * per duplicate cluster, keep the longest member (ties → smallest
+    * doc_id) and report cluster size. This is what a curation pipeline
+    * actually writes out ("drop the cluster, keep this one"), composed
+    * from the oracle-checked cluster labels + one window pass per
+    * cluster. Scale: one shuffle on the cluster rep; the window
+    * partitions are dup-cluster-sized (near-cliques — a handful of
+    * rows), so no partition can be large by construction.
+    */
+  val qDedupCanonical = QDef(
+    "q_dedup_canonical",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cl = qDedupCluster.fn(s, d) // (doc_id, rep)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy("rep")
+      cl.join(docs, "doc_id")
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(w).cast("long"))
+        .where(col("rn") === 1)
+        .select(col("rep"), col("doc_id").as("canonical_id"),
+          col("n_chars").as("canon_chars"), col("n_members"))
+    },
+    qDedupCluster.oracle.map(sql => s"""
+      WITH clusters AS ($sql),
+      ranked AS (
+        SELECT c.rep, c.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY c.rep ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY c.rep) AS n_members
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+      SELECT rep, doc_id AS canonical_id, n_chars AS canon_chars,
+             CAST(n_members AS BIGINT) AS n_members
+      FROM ranked WHERE rn = 1"""))
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash,
-    qDedupCluster, qDedupClusterStar)
+    qDedupCluster, qDedupClusterStar, qDedupCanonical)
 }
