@@ -99,4 +99,15 @@ class RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = Tables.load(spark, sf, "nation")
     assert(n.filter(poison()).count() == n.count())
   }
+
+  test("MERGE INTO through the DML catalog stays atomic across an injected task failure") {
+    // The copy-on-write ReplaceData commit must be exactly-once even when
+    // a task in the merge's source stage dies: the poisoned run's final
+    // table state must equal the clean run's (no partial group, no
+    // double-applied delta). q_dml_merge drops/recreates its target, so
+    // each invocation is a fresh end-to-end DML pipeline.
+    spark.conf.set("spark.sql.catalog.graft_dml",
+      classOf[graft.sources.DmlCatalog].getName)
+    assertRetryStable("orders", SparkEntry.queries("q_dml_merge"))
+  }
 }
