@@ -328,7 +328,98 @@ object Dedup extends QModule {
              CAST(n_members AS BIGINT) AS n_members
       FROM ranked WHERE rn = 1"""))
 
+  // ------------------------------------------------- exact substring dedup
+
+  /** Exact duplicate-substring detection at word-k-gram granularity — the
+    * suffix-array dedup of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better") re-expressed relationally: a k-gram
+    * that occurs ≥2 times anywhere in the corpus (cross- OR within-doc,
+    * per the paper) marks every position it covers as duplicated.
+    *
+    * Scale (100 TB): the exploded stream shuffles (gh, doc_id) — a 60-bit
+    * hash per position, never the gram text; the duplicate-hash table is
+    * HAVING-filtered to actual duplicates (rare by construction), so the
+    * LEFT SEMI probe's build side stays small/broadcastable; per-doc
+    * totals derive from stored n_words, no second pass over text. A true
+    * suffix array finds duplicates of ANY length ≥ k; fixed-k positional
+    * grams find exactly the same byte positions for any duplicate of
+    * length ≥ k (every window inside it repeats too) — the standard
+    * MapReduce-able approximation.
+    */
+  private val K = 8 // words per gram
+
+  private def substrDialect(dialect: String): (String, String, String) = dialect match {
+    // (positions relation, gram-hash expr over `g`, word-count expr)
+    case "spark" => (
+      s"""SELECT doc_id, i, concat_ws(' ', slice(w, i, $K)) AS g
+          FROM (SELECT doc_id, w, explode(sequence(1, size(w) - ${K - 1})) AS i
+                FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+                WHERE size(w) >= $K)""",
+      "md5_long(g)",
+      "size(split(text, ' '))")
+    case _ => (
+      s"""SELECT doc_id, i, array_to_string(w[i:i + ${K - 1}], ' ') AS g
+          FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${K - 1})) AS i
+                FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+                WHERE len(w) >= $K)""",
+      "CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)",
+      "len(string_split(text, ' '))")
+  }
+
+  private def substrSql(dialect: String): String = {
+    val (posRel, ghExpr, nWords) = substrDialect(dialect)
+    s"""
+      WITH pos AS (SELECT doc_id, i, $ghExpr AS gh FROM ($posRel)),
+      heavy AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(*) >= 2),
+      dup AS (SELECT p.doc_id, COUNT(*) AS dup_grams
+              FROM pos p WHERE p.gh IN (SELECT gh FROM heavy)
+              GROUP BY p.doc_id),
+      tot AS (SELECT doc_id, $nWords - ${K - 1} AS n_grams FROM documents
+              WHERE $nWords >= $K)
+      SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+             CAST(COALESCE(d.dup_grams, 0) AS BIGINT) AS dup_grams,
+             CAST(COALESCE(d.dup_grams, 0) AS DOUBLE) / t.n_grams AS dup_ratio
+      FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id"""
+  }
+
+  val qDedupSubstr = QDef(
+    "q_dedup_substr",
+    sqlQ(substrSql("spark")),
+    Some(substrSql("duck")),
+    bench = true)
+
+  /** Maximal duplicated SPANS — the positions [[qDedupSubstr]] flags,
+    * merged per document into contiguous islands (gaps-and-islands:
+    * `i - row_number()` is constant within a run), reported as
+    * (start word, span length in words) for spans covering ≥ 2·K words.
+    * This is the pipeline's actionable output: "cut these byte ranges",
+    * not just a ratio. The island window partitions per doc and the
+    * flagged stream is duplicate positions only — both bounded well
+    * below corpus size.
+    */
+  private def substrSpanSql(dialect: String): String = {
+    val (posRel, ghExpr, _) = substrDialect(dialect)
+    s"""
+      WITH pos AS (SELECT doc_id, i, $ghExpr AS gh FROM ($posRel)),
+      heavy AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(*) >= 2),
+      flagged AS (SELECT doc_id, i FROM pos WHERE gh IN (SELECT gh FROM heavy)),
+      runs AS (SELECT doc_id, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS island
+               FROM flagged),
+      spans AS (SELECT doc_id, MIN(i) AS span_start, COUNT(*) + ${K - 1} AS span_words
+                FROM runs GROUP BY doc_id, island)
+      SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+             CAST(span_words AS BIGINT) AS span_words
+      FROM spans WHERE span_words >= ${2 * K}"""
+  }
+
+  val qDedupSubstrSpans = QDef(
+    "q_dedup_substr_spans",
+    sqlQ(substrSpanSql("spark")),
+    Some(substrSpanSql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash,
-    qDedupCluster, qDedupClusterStar, qDedupCanonical)
+    qDedupCluster, qDedupClusterStar, qDedupCanonical,
+    qDedupSubstr, qDedupSubstrSpans)
 }

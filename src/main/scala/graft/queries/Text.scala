@@ -407,9 +407,44 @@ object Text extends QModule {
     sqlQ(dedupLinesSpark),
     Some(dedupLinesDuck))
 
+  /** Per-document top terms by df-normalized term frequency (tf/df — the
+    * tf-idf ranking with a 1/df weight, monotone in rarity like idf but
+    * free of engine-specific `ln` rounding, so the oracle compare is
+    * exact: tf and df are ints and one IEEE division is correctly rounded
+    * identically in both engines). Ties break on the term text.
+    *
+    * Scale (100 TB): tf is ONE map-side-combinable shuffle of
+    * (doc_id, term); df re-aggregates the already-per-doc-distinct tf
+    * table (vocab-sized, ≪ corpus); the tf⋈df equi-join shuffles
+    * vocab-keyed rows; the final window partitions per doc. No text is
+    * shuffled after the first explode — terms ride as groupBy keys.
+    */
+  private def tfidfSql(dialect: String): String = {
+    val wordsRel = dialect match {
+      case "spark" => "SELECT doc_id, explode(split(lower(text), ' ')) AS term FROM documents"
+      case _       => "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents"
+    }
+    s"""
+      WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                  FROM ($wordsRel) WHERE term <> '' GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      ranked AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                     ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term) AS rn
+                 FROM tf JOIN df ON tf.term = df.term)
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             CAST(rn AS INT) AS rn
+      FROM ranked WHERE rn <= 3"""
+  }
+
+  val qTextTfidf = QDef(
+    "q_text_tfidf",
+    sqlQ(tfidfSql("spark")),
+    Some(tfidfSql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
     qTextRepetition, qTextNgramFreq, qTextChunks, qTextPack, qTextDecontam,
-    qTextRedact, qTextLmScore, qTextShuffle, qTextDedupLines)
+    qTextRedact, qTextLmScore, qTextShuffle, qTextDedupLines, qTextTfidf)
 }
 
