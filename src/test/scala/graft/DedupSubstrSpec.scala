@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Constructed-input proofs for the exact-substring dedup family and the
+  * tf-idf term ranking — the fixture corpus exercises them at scale, but
+  * only a hand-built corpus pins the SEMANTICS (which positions flag,
+  * how islands merge, how df normalizes) to exact expected rows. Uses the
+  * [[Tables.seed]] test seam with a synthetic "dir" key so the shared
+  * session's real fixture memos are untouched.
+  */
+class DedupSubstrSpec extends SparkSpecBase {
+
+  /** Seed a fake sf-dir whose `documents` is the given (id, text) rows and
+    * whose other tables alias the real sf0.001 fixtures (register() loads
+    * every name, so each key must resolve).
+    */
+  private def seedDocs(dir: String, docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    Tables.names.filter(_ != "documents").foreach { n =>
+      Tables.seed(spark, dir, n, Tables.load(spark, sf, n))
+    }
+    Tables.seed(spark, dir, "documents",
+      docs.toDF("doc_id", "text").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'synth' AS source",
+        "length(text) AS n_chars"))
+  }
+
+  test("q_dedup_substr flags exactly the cross-doc duplicated 8-gram positions") {
+    val dir = "synth://substr"
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")        // 20 unique words
+    val mid = (5 to 12).map(i => s"a$i").mkString(" ")      // 8 words copied from d1
+    val d2 = ((1 to 5).map(i => s"b$i") ++ (5 to 12).map(i => s"a$i") ++
+      (1 to 5).map(i => s"c$i")).mkString(" ")              // 18 words, dup window at pos 6
+    seedDocs(dir, Seq((1L, a), (2L, d2), (3L, a)))
+    assert(d2.contains(mid))
+
+    val rows = SparkEntry.queries("q_dedup_substr")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // d1/d3 are exact copies: all 13 grams duplicated. d2 shares exactly
+    // one 8-word window with them: 1 of its 11 grams.
+    assert(rows == Set((1L, 13L, 13L), (2L, 11L, 1L), (3L, 13L, 13L)))
+  }
+
+  test("q_dedup_substr_spans merges flagged positions into maximal spans >= 16 words") {
+    val dir = "synth://substr-spans"
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val d2 = ((1 to 5).map(i => s"b$i") ++ (5 to 12).map(i => s"a$i") ++
+      (1 to 5).map(i => s"c$i")).mkString(" ")
+    seedDocs(dir, Seq((1L, a), (2L, d2), (3L, a)))
+    val rows = SparkEntry.queries("q_dedup_substr_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // d1/d3: positions 1..13 are one island -> span of 13+7=20 words from
+    // position 1. d2's single 8-word span is below the 2K=16 threshold.
+    assert(rows == Set((1L, 1L, 20L), (3L, 1L, 20L)))
+  }
+
+  test("q_text_tfidf ranks rare terms above common ones, df counts documents") {
+    val dir = "synth://tfidf"
+    seedDocs(dir, Seq((1L, "x x x common"), (2L, "y common"), (3L, "z z common")))
+    val rows = SparkEntry.queries("q_text_tfidf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    assert(rows == Set(
+      (1L, "x", 3L, 1L, 1), (1L, "common", 1L, 3L, 2),
+      (2L, "y", 1L, 1L, 1), (2L, "common", 1L, 3L, 2),
+      (3L, "z", 2L, 1L, 1), (3L, "common", 1L, 3L, 2)))
+  }
+
+  test("substr dedup plan: heavy-gram build side is a filtered aggregate feeding a semi join") {
+    val plan = SparkEntry.queries("q_dedup_substr")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"heavy-gram probe is not a semi join:\n$plan")
+    // the probe's build side must be the HAVING-filtered aggregate, so the
+    // corpus-sized position stream is NEVER the build side
+    assert(plan.linesIterator.exists(l => l.contains("Filter") && l.contains("count")),
+      s"heavy set not filtered before the join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"substr dedup degraded to a non-equi join:\n$plan")
+  }
+}

@@ -815,4 +815,41 @@ class OperatorSpec extends SparkSpecBase {
         l.contains("PushedFilters") && l.contains("l_shipdate")),
       s"Q72 anchor-week filter not pushed:\n$s72")
   }
+
+  test("TPC-DS batch-9 shapes: channel legs pre-aggregate, threshold joins run on aggregated grain") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q5: both channel legs aggregate to nation grain BEFORE the union —
+    // the Union's inputs are aggregate outputs, and the rollup Expand
+    // sits above it, never below
+    val s5 = plan("q_tpcds_q5")
+    val u5 = s5.linesIterator.indexWhere(_.contains("Union"))
+    assert(u5 >= 0, s"Q5 lost the channel union:\n$s5")
+    assert(s5.linesIterator.drop(u5).count(_.contains("HashAggregate")) >= 4,
+      s"Q5 unioned detail rows instead of aggregated legs:\n$s5")
+    assert(s5.linesIterator.take(u5).exists(_.contains("Expand")),
+      s"Q5 rollup not above the union:\n$s5")
+    // Q54: one orders scan feeds both aggregation levels (spend grain,
+    // then bucket histogram) — no re-scan per level
+    val s54 = plan("q_tpcds_q54")
+    assert(s54.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"Q54 re-scans orders:\n$s54")
+    // Q58: the three year instances join on the aggregated part grain —
+    // equi joins only, aggregates below the joins
+    val s58 = plan("q_tpcds_q58")
+    assert(!s58.contains("CartesianProduct") && !s58.contains("BroadcastNestedLoop"),
+      s"Q58 band compare degraded a join:\n$s58")
+    val j58 = s58.linesIterator.indexWhere(_.contains("Join"))
+    assert(j58 >= 0 && s58.linesIterator.drop(j58).count(_.contains("HashAggregate")) >= 6,
+      s"Q58 joined detail rows instead of per-year aggregates:\n$s58")
+    // Q65: the store-level re-aggregate consumes the (store,item)
+    // aggregate's OUTPUT; the threshold join is equi on the store key
+    val s65 = plan("q_tpcds_q65")
+    assert(!s65.contains("CartesianProduct") && !s65.contains("BroadcastNestedLoop"),
+      s"Q65 threshold join degraded:\n$s65")
+    assert(s65.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+          l.contains("BroadcastHashJoin")) && l.contains("l_suppkey")),
+      s"Q65 lost the suppkey equi-join:\n$s65")
+  }
 }
