@@ -100,12 +100,21 @@ object Tpcds9 extends QModule {
                              AND 6 * (y96.rev + y97.rev + y98.rev)"""
   val qTpcdsQ58 = QDef("q_tpcds_q58", sqlQ(q58Sql), Some(q58Sql))
 
-  /** TPC-DS Q65 shape: (store, item) revenue grain joined against the
+  /** TPC-DS Q65 shape: (store, item) revenue grain compared against the
     * re-aggregate of ITS OWN output (per-store item count + total), keeping
     * items at or below half the store's average item revenue —
-    * 2·n·rev ≤ tot, exact in BIGINT units. Scale: the threshold join is
-    * store-keyed (supplier-count rows on the build side — broadcastable);
-    * the detail side is the (store, item) aggregate, not the fact.
+    * 2·n·rev ≤ tot, exact in BIGINT units.
+    *
+    * The oracle keeps the textbook self-join form (aggregate CTE joined to
+    * its own GROUP BY). The engine runs the equivalent WINDOW rewrite:
+    * Spark inlines deterministic CTEs, so the join form aggregates the
+    * fact TWICE (measured 1.7 s vs DuckDB 0.24 s at sf0.1 — DuckDB
+    * auto-materializes the reused CTE); SUM/COUNT OVER (PARTITION BY
+    * store) computes the store totals in the same pass that carries the
+    * item rows. Scale: one fact scan, one map-side-combinable shuffle to
+    * (store, item) grain, one store-partitioned window whose partitions
+    * are item-list-sized — no materialization of the aggregate, no second
+    * scan, dims broadcast.
     */
   private val q65Sql = s"""
       WITH pi AS (
@@ -121,7 +130,21 @@ object Tpcds9 extends QModule {
       JOIN supplier ON s_suppkey = pi.l_suppkey
       JOIN part ON p_partkey = pi.l_partkey
       WHERE 2 * pi.rev_u * st.n_items <= st.tot_u"""
-  val qTpcdsQ65 = QDef("q_tpcds_q65", sqlQ(q65Sql), Some(q65Sql), bench = true)
+  private val q65Spark = s"""
+      WITH pi AS (
+        SELECT l_suppkey, l_partkey, ${rev()} AS rev_u
+        FROM lineitem GROUP BY l_suppkey, l_partkey),
+      w AS (
+        SELECT l_suppkey, l_partkey, rev_u,
+               SUM(rev_u) OVER (PARTITION BY l_suppkey) AS tot_u,
+               COUNT(*) OVER (PARTITION BY l_suppkey) AS n_items
+        FROM pi)
+      SELECT s_name, p_name, CAST(w.rev_u AS DOUBLE) / 1e4 AS revenue
+      FROM w
+      JOIN supplier ON s_suppkey = w.l_suppkey
+      JOIN part ON p_partkey = w.l_partkey
+      WHERE 2 * w.rev_u * w.n_items <= w.tot_u"""
+  val qTpcdsQ65 = QDef("q_tpcds_q65", sqlQ(q65Spark), Some(q65Sql), bench = true)
 
   val defs: Seq[QDef] = Seq(qTpcdsQ5, qTpcdsQ54, qTpcdsQ58, qTpcdsQ65)
 }

@@ -842,14 +842,16 @@ class OperatorSpec extends SparkSpecBase {
     val j58 = s58.linesIterator.indexWhere(_.contains("Join"))
     assert(j58 >= 0 && s58.linesIterator.drop(j58).count(_.contains("HashAggregate")) >= 6,
       s"Q58 joined detail rows instead of per-year aggregates:\n$s58")
-    // Q65: the store-level re-aggregate consumes the (store,item)
-    // aggregate's OUTPUT; the threshold join is equi on the store key
+    // Q65: the engine's window rewrite computes the store totals in the
+    // SAME pass as the item rows — exactly one fact scan (the CTE join
+    // form would scan+aggregate twice), a store-partitioned Window, and
+    // only broadcast dim joins
     val s65 = plan("q_tpcds_q65")
     assert(!s65.contains("CartesianProduct") && !s65.contains("BroadcastNestedLoop"),
-      s"Q65 threshold join degraded:\n$s65")
-    assert(s65.linesIterator.exists(l =>
-        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
-          l.contains("BroadcastHashJoin")) && l.contains("l_suppkey")),
-      s"Q65 lost the suppkey equi-join:\n$s65")
+      s"Q65 threshold compare degraded a join:\n$s65")
+    val scans65 = s65.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans65 == 1, s"Q65 re-aggregates the fact ($scans65 lineitem scans):\n$s65")
+    assert(s65.contains("Window"), s"Q65 lost the store-total window:\n$s65")
   }
 }
