@@ -62,7 +62,41 @@ object ScaleUp {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-      for (n <- graft.Tables.names if n != "orders" && n != "lineitem" && n != "events") {
+      // documents: replica-TAG every word ("w" -> "w_r<rep>") instead of
+      // byte-copying. A byte-replicated corpus would make every k-gram a
+      // cross-replica duplicate (the heavy set degenerates to ALL grams
+      // and every doc to one dup cluster); tagging keeps each replica's
+      // internal duplicate structure exactly equal to the original corpus
+      // while replicas never collide — so dedup/text measurements at ×k
+      // see k× the data at the ORIGINAL duplicate rate. n_chars is
+      // re-derived so stored metadata stays consistent with the text.
+      spark.read.parquet(s"$src/documents.parquet")
+        .withColumn("__rep", reps)
+        .withColumn("doc_id", col("doc_id") * k + col("__rep"))
+        .withColumn("text", expr(
+          "array_join(transform(split(text, ' '), w -> concat(w, '_r', __rep)), ' ')"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+      // embeddings: shift vec_id per replica and nudge ONE coordinate by
+      // rep/1024 (exactly representable in float), so replicated vectors
+      // are near- but not exact-duplicates — ANN top-k/near-dup stays
+      // non-degenerate (no k-way cosine ties) and similarity structure is
+      // preserved within each replica.
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .withColumn("__rep", reps)
+        .withColumn("vec_id", col("vec_id") * k + col("__rep"))
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> IF(i = 0, CAST(x + __rep / 1024.0 AS FLOAT), x))"))
+        .drop("__rep")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+      for (n <- graft.Tables.names
+           if n != "orders" && n != "lineitem" && n != "events" &&
+             n != "documents" && n != "embeddings") {
         Files.copy(Paths.get(s"$src/$n.parquet"), Paths.get(s"$out/$n.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
       }
