@@ -72,11 +72,12 @@ object StreamBench {
       rowsPerBatch: Int, batches: Int, warmup: Int): (Double, Long, Long, Int, Long) = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sb-$name").toString
-    val src = spark.readStream.format("rate-micro-batch")
+    def mkSrc = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch.toString)
       .option("numPartitions", "8")
       .load()
       .select(col("timestamp").as("event_time"), col("value"))
+    val src = mkSrc
     val df: DataFrame = graph match {
       case "stateless" =>
         src.select(col("value"), col("event_time"),
@@ -101,6 +102,24 @@ object StreamBench {
           (col("value") % 100 / 10.0).as("value"))
           .as[graft.streaming.Streams.Event]
         graft.streaming.Streams.funnelTWS(events).toDF()
+      case "join" =>
+        // stream-stream inner join (the remaining stateful operator family
+        // the bench didn't cover): two INDEPENDENT rate sources emitting
+        // the same id sequence, joined on the id inside a ±5 s event-time
+        // window. Every row keeps join state until the watermark passes
+        // the range bound, so this measures SymmetricHashJoin's two-sided
+        // state commit; each row matches exactly its twin (monotone
+        // unique values), so output cardinality is exact and steady.
+        val imp = mkSrc.select(
+            col("event_time").as("imp_time"), col("value").as("ad_id"))
+          .withWatermark("imp_time", "10 seconds")
+        val clk = mkSrc.select(
+            col("event_time").as("clk_time"), col("value").as("click_id"))
+          .withWatermark("clk_time", "10 seconds")
+        imp.join(clk, expr(
+          """ad_id = click_id AND
+             clk_time >= imp_time - INTERVAL 5 SECONDS AND
+             clk_time <= imp_time + INTERVAL 5 SECONDS"""))
       case _ =>
         src
           // two bit-identical copies of every row = real dedup work
@@ -118,7 +137,7 @@ object StreamBench {
     val q = df.writeStream
       .format("noop")
       .outputMode(graph match {
-        case "stateless" | "tws" => "append"
+        case "stateless" | "tws" | "join" => "append"
         case _ => "update"
       })
       .option("checkpointLocation", ckpt)
@@ -174,7 +193,8 @@ object StreamBench {
       ("stateless", "stateless", rocks),
       ("stateful_rocksdb", "dedupAgg", rocks),
       ("stateful_hdfs", "dedupAgg", hdfs),
-      ("stateful_tws", "tws", rocks))
+      ("stateful_tws", "tws", rocks),
+      ("stateful_join", "join", rocks))
     val results = configs.map { case (name, graph, provider) =>
       val (thru, p50, p95, n, rows) =
         run(spark, name, graph, provider, rowsPerBatch, batches, warmup)
