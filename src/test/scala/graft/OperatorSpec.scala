@@ -854,4 +854,23 @@ class OperatorSpec extends SparkSpecBase {
     assert(scans65 == 1, s"Q65 re-aggregates the fact ($scans65 lineitem scans):\n$s65")
     assert(s65.contains("Window"), s"Q65 lost the store-total window:\n$s65")
   }
+
+  test("TPC-DS batch-11 shapes: EXCEPT chain becomes stacked anti joins, dim-correlated scalars decorrelate") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q87: each EXCEPT DISTINCT rewrites to aggregate -> left-anti join;
+    // two stacked anti joins, no cartesian anywhere
+    val s87 = plan("q_tpcds_q87")
+    assert(s87.linesIterator.count(_.contains("LeftAnti")) >= 2,
+      s"Q87 EXCEPT chain did not become stacked anti joins:\n$s87")
+    assert(!s87.contains("CartesianProduct") && !s87.contains("BroadcastNestedLoop"),
+      s"Q87 degraded:\n$s87")
+    // Q6: both correlated scalars decorrelate to nation-grain aggregates
+    // joined back on c_nationkey — never a per-row subquery
+    val s6 = plan("q_tpcds_q6")
+    assert(!s6.contains("CartesianProduct") && !s6.contains("BroadcastNestedLoop"),
+      s"Q6 correlated scalars did not decorrelate:\n$s6")
+    assert(s6.linesIterator.exists(l => l.contains("Join") && l.contains("c_nationkey")),
+      s"Q6 lost the nation-key decorrelation join:\n$s6")
+  }
 }
