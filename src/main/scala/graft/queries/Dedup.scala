@@ -418,8 +418,64 @@ object Dedup extends QModule {
     sqlQ(substrSpanSql("spark")),
     Some(substrSpanSql("duck")))
 
+  /** Span CUTTING — the step after detection: remove every word covered
+    * by a qualifying duplicated span (≥ 2·K words) and rebuild the
+    * remaining text in order. This is the aggressive all-occurrences
+    * variant (a fully duplicated doc rebuilds to ''); production keeps
+    * one canonical occurrence per duplicate cluster — that decision is
+    * [[qDedupCanonical]]'s, composed upstream. Scale: the cover set
+    * (positions under qualifying spans) is duplicate-bounded, the
+    * NOT-EXISTS probe is a (doc, pos)-keyed anti join, and the ordered
+    * rebuild groups per doc — shuffle key doc_id, state bounded by doc
+    * length (same contract as q_text_deduplines).
+    */
+  private def cutSpansSql(dialect: String): String = {
+    val (posRel, ghExpr, _) = substrDialect(dialect)
+    val (wordsRel, coverRel, agg) = dialect match {
+      case "spark" => (
+        """SELECT doc_id, pos + 1 AS pos, word
+           FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+           LATERAL VIEW posexplode(ws) t AS pos, word""",
+        "SELECT DISTINCT doc_id, explode(sequence(s, s + w - 1)) AS p FROM spans",
+        "LISTAGG(CASE WHEN keep THEN word END, ' ') WITHIN GROUP (ORDER BY pos)")
+      case _ => (
+        """SELECT doc_id, CAST(g AS INT) AS pos, ws[CAST(g AS INT)] AS word
+           FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+                UNNEST(range(1, len(ws) + 1)) AS t(g)""",
+        """SELECT DISTINCT doc_id, CAST(u AS INT) AS p
+           FROM spans, UNNEST(generate_series(s, s + w - 1)) AS c(u)""",
+        "STRING_AGG(CASE WHEN keep THEN word END, ' ' ORDER BY pos)")
+    }
+    s"""
+      WITH pos AS (SELECT doc_id, i, $ghExpr AS gh FROM ($posRel)),
+      heavy AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(*) >= 2),
+      flagged AS (SELECT doc_id, i FROM pos WHERE gh IN (SELECT gh FROM heavy)),
+      runs AS (SELECT doc_id, i,
+                 i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS island
+               FROM flagged),
+      spans AS (SELECT doc_id, MIN(i) AS s, COUNT(*) + ${K - 1} AS w
+                FROM runs GROUP BY doc_id, island
+                HAVING COUNT(*) + ${K - 1} >= ${2 * K}),
+      cover AS ($coverRel),
+      words AS ($wordsRel),
+      marked AS (SELECT w.doc_id, w.pos, w.word,
+                   NOT EXISTS (SELECT 1 FROM cover c
+                               WHERE c.doc_id = w.doc_id AND c.p = w.pos) AS keep
+                 FROM words w)
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+             COALESCE($agg, '') AS clean_text
+      FROM marked GROUP BY doc_id"""
+  }
+
+  val qDedupCutSpans = QDef(
+    "q_dedup_cutspans",
+    sqlQ(cutSpansSql("spark")),
+    Some(cutSpansSql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash,
     qDedupCluster, qDedupClusterStar, qDedupCanonical,
-    qDedupSubstr, qDedupSubstrSpans)
+    qDedupSubstr, qDedupSubstrSpans, qDedupCutSpans)
 }

@@ -55,6 +55,23 @@ class DedupSubstrSpec extends SparkSpecBase {
     assert(rows == Set((1L, 1L, 20L), (3L, 1L, 20L)))
   }
 
+  test("q_dedup_cutspans removes exactly the covered words and rebuilds the rest") {
+    val dir = "synth://cutspans"
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val d2words = (1 to 5).map(i => s"b$i") ++ (5 to 12).map(i => s"a$i") ++
+      (1 to 5).map(i => s"c$i")
+    seedDocs(dir, Seq((1L, a), (2L, d2words.mkString(" ")), (3L, a)))
+    val rows = SparkEntry.queries("q_dedup_cutspans")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // d1/d3 are fully covered by their 20-word span -> everything cut;
+    // d2's only span is below the threshold -> untouched
+    assert(rows(1L) == ((0L, 20L, "")))
+    assert(rows(3L) == ((0L, 20L, "")))
+    assert(rows(2L) == ((18L, 0L, d2words.mkString(" "))))
+  }
+
   test("q_text_tfidf ranks rare terms above common ones, df counts documents") {
     val dir = "synth://tfidf"
     seedDocs(dir, Seq((1L, "x x x common"), (2L, "y common"), (3L, "z z common")))
