@@ -429,7 +429,11 @@ object Dedup extends QModule {
     * rebuild groups per doc — shuffle key doc_id, state bounded by doc
     * length (same contract as q_text_deduplines).
     */
-  private def cutSpansSql(dialect: String): String = {
+  /** Shared CTE chain ending in `cut` = (doc_id, n_kept, n_removed,
+    * clean_text) — the cut-and-rebuild core of [[qDedupCutSpans]], also
+    * the first stage of the curation flagship [[qDedupCuratePipeline]].
+    */
+  private def cutCtes(dialect: String): String = {
     val (posRel, ghExpr, _) = substrDialect(dialect)
     val (wordsRel, coverRel, agg) = dialect match {
       case "spark" => (
@@ -446,8 +450,7 @@ object Dedup extends QModule {
            FROM spans, UNNEST(generate_series(s, s + w - 1)) AS c(u)""",
         "STRING_AGG(CASE WHEN keep THEN word END, ' ' ORDER BY pos)")
     }
-    s"""
-      WITH pos AS (SELECT doc_id, i, $ghExpr AS gh FROM ($posRel)),
+    s"""pos AS (SELECT doc_id, i, $ghExpr AS gh FROM ($posRel)),
       heavy AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(*) >= 2),
       flagged AS (SELECT doc_id, i FROM pos WHERE gh IN (SELECT gh FROM heavy)),
       runs AS (SELECT doc_id, i,
@@ -461,21 +464,52 @@ object Dedup extends QModule {
       marked AS (SELECT w.doc_id, w.pos, w.word,
                    NOT EXISTS (SELECT 1 FROM cover c
                                WHERE c.doc_id = w.doc_id AND c.p = w.pos) AS keep
-                 FROM words w)
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-             CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
-             COALESCE($agg, '') AS clean_text
-      FROM marked GROUP BY doc_id"""
+                 FROM words w),
+      cut AS (SELECT doc_id,
+                CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+                COALESCE($agg, '') AS clean_text
+              FROM marked GROUP BY doc_id)"""
   }
+
+  private def cutSpansSql(dialect: String): String =
+    s"WITH ${cutCtes(dialect)} SELECT doc_id, n_kept, n_removed, clean_text FROM cut"
 
   val qDedupCutSpans = QDef(
     "q_dedup_cutspans",
     sqlQ(cutSpansSql("spark")),
     Some(cutSpansSql("duck")))
 
+  /** Curation flagship: the full substring-dedup DECISION pipeline in ONE
+    * plan — cut duplicated spans → drop docs left under 10 words →
+    * fingerprint-dedup the REBUILT texts (min doc_id keeps) → assign
+    * deterministic 16-way training shards → per-shard counts. Proves the
+    * new ops compose with the dedup/shard stages exactly like
+    * q_pipeline_clean proves the quality stack. Scale: each stage's own
+    * contract applies unchanged (duplicate-bounded cover set, doc-keyed
+    * rebuild, digest-grain dedup shuffle, md5 sharding); nothing widens.
+    */
+  private def curateSql(dialect: String): String = {
+    val str = dialect match { case "spark" => "STRING"; case _ => "VARCHAR" }
+    s"""
+      WITH ${cutCtes(dialect)},
+      kept AS (SELECT doc_id, n_kept, clean_text FROM cut WHERE n_kept >= 10),
+      canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(clean_text)),
+      final AS (SELECT k.doc_id, k.n_kept,
+                  substring(md5(CAST(k.doc_id AS $str)), 1, 1) AS shard
+                FROM kept k JOIN canon c ON c.doc_id = k.doc_id)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_kept) AS BIGINT) AS n_words
+      FROM final GROUP BY shard"""
+  }
+
+  val qDedupCuratePipeline = QDef(
+    "q_pipeline_curate",
+    sqlQ(curateSql("spark")),
+    Some(curateSql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash,
     qDedupCluster, qDedupClusterStar, qDedupCanonical,
-    qDedupSubstr, qDedupSubstrSpans, qDedupCutSpans)
+    qDedupSubstr, qDedupSubstrSpans, qDedupCutSpans, qDedupCuratePipeline)
 }
