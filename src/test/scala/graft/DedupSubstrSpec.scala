@@ -84,6 +84,15 @@ class DedupSubstrSpec extends SparkSpecBase {
       (3L, "z", 2L, 1L, 1), (3L, "common", 1L, 3L, 2)))
   }
 
+  test("cutspans plan: the cover probe is a hash existence join, never a nested loop") {
+    val plan = SparkEntry.queries("q_dedup_cutspans")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistenceJoin") || plan.contains("LeftAnti"),
+      s"NOT EXISTS did not decorrelate:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"cover probe degraded to a nested loop:\n$plan")
+  }
+
   test("substr dedup plan: heavy-gram build side is a filtered aggregate feeding a semi join") {
     val plan = SparkEntry.queries("q_dedup_substr")(spark, sf)
       .queryExecution.executedPlan.toString
