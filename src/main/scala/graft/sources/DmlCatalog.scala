@@ -44,7 +44,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class DmlCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = "graft_dml"
-  private val tables = new ConcurrentHashMap[String, DmlTable]()
+  // Backing store is JVM-shared PER CATALOG NAME, not per instance: Spark
+  // instantiates a fresh catalog plugin in every cloned session (notably
+  // the per-micro-batch sessions foreachBatch hands out), and a catalog
+  // whose tables vanish in a clone is not a catalog — a metastore/lakehouse
+  // log is shared state by definition. The streaming CDC-upsert spec
+  // (StreamingDmlSpec) fails without this.
+  private def tables: ConcurrentHashMap[String, DmlTable] =
+    DmlCatalog.stores.computeIfAbsent(catalogName,
+      _ => new ConcurrentHashMap[String, DmlTable]())
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
@@ -115,6 +123,15 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces {
   override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit = ()
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = ()
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = false
+}
+
+object DmlCatalog {
+  /** Per-catalog-name table stores — the in-memory analog of the shared
+    * metastore/metadata log every real catalog plugin fronts. See the
+    * note on `DmlCatalog.tables`.
+    */
+  private val stores =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, DmlTable]]()
 }
 
 /** One DML-capable table: full-schema rows held as an immutable snapshot
