@@ -84,6 +84,73 @@ class DedupSubstrSpec extends SparkSpecBase {
       (3L, "z", 2L, 1L, 1), (3L, "common", 1L, 3L, 2)))
   }
 
+  // ---- ScalaCheck properties: brute-force reference on generated corpora
+
+  private val K = 8
+
+  /** Brute-force reference: per-doc (n_grams, dup_grams) using a global
+    * gram multiset — the executable spec of Lee-et-al. positional dedup.
+    */
+  private def bruteSubstr(docs: Seq[(Long, Seq[String])]): Map[Long, (Long, Long)] = {
+    val grams = docs.flatMap { case (id, ws) =>
+      if (ws.size < K) Nil
+      else ws.sliding(K).zipWithIndex.map { case (g, i) => (id, i + 1, g.mkString(" ")) }.toSeq
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    docs.collect { case (id, ws) if ws.size >= K =>
+      val mine = grams.filter(_._1 == id)
+      id -> ((ws.size - K + 1).toLong, mine.count(g => counts(g._3) >= 2).toLong)
+    }.toMap
+  }
+
+  private def bruteSpans(docs: Seq[(Long, Seq[String])]): Set[(Long, Long, Long)] = {
+    val grams = docs.flatMap { case (id, ws) =>
+      if (ws.size < K) Nil
+      else ws.sliding(K).zipWithIndex.map { case (g, i) => (id, i + 1, g.mkString(" ")) }.toSeq
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    docs.flatMap { case (id, _) =>
+      val flagged = grams.filter(g => g._1 == id && counts(g._3) >= 2).map(_._2).sorted
+      // islands: consecutive positions merge
+      val islands = flagged.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+        case (acc, p) => (p, p) :: acc
+      }
+      islands.collect { case (s, e) if (e - s + 1) + K - 1 >= 2 * K =>
+        (id, s.toLong, ((e - s + 1) + K - 1).toLong)
+      }
+    }.toSet
+  }
+
+  test("property: q_dedup_substr equals the brute-force positional reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf((0 until 12).map(i => s"w$i"))
+    val phraseGen = Gen.choose(K, K + 4).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = for {
+      phrases <- Gen.listOfN(3, phraseGen)
+      nDocs <- Gen.choose(2, 5)
+      docs <- Gen.listOfN(nDocs, for {
+        refs <- Gen.listOf(Gen.oneOf(phrases)).map(_.take(3))
+        noise <- Gen.listOf(word).map(_.take(6))
+      } yield refs.flatten ++ noise)
+    } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+    var n = 0
+    val prop = Prop.forAll(corpusGen) { docs =>
+      n += 1
+      val dir = s"synth://prop-substr-$n"
+      seedDocs(dir, docs.map { case (id, ws) => (id, ws.mkString(" ")) })
+      val got = SparkEntry.queries("q_dedup_substr")(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val spansGot = SparkEntry.queries("q_dedup_substr_spans")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got == bruteSubstr(docs) && spansGot == bruteSpans(docs)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(8).withInitialSeed(Seed(42L)).withWorkers(1), prop)
+    assert(res.passed, s"substr property: ${res.status}")
+  }
+
   test("cutspans plan: the cover probe is a hash existence join, never a nested loop") {
     val plan = SparkEntry.queries("q_dedup_cutspans")(spark, sf)
       .queryExecution.executedPlan.toString
