@@ -122,7 +122,23 @@ class DedupSubstrSpec extends SparkSpecBase {
     }.toSet
   }
 
-  test("property: q_dedup_substr equals the brute-force positional reference") {
+  /** Brute-force cut-and-rebuild: every word under a qualifying span
+    * removed, rest rejoined in order — the executable spec of cutspans.
+    */
+  private def bruteCut(docs: Seq[(Long, Seq[String])]): Map[Long, (Long, Long, String)] = {
+    val spans = bruteSpans(docs)
+    docs.map { case (id, ws) =>
+      val covered = spans.collect {
+        case (d, s, w) if d == id => (s to (s + w - 1)).map(_.toInt)
+      }.flatten
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if !covered.contains(i + 1) => w
+      }
+      id -> ((kept.size.toLong, (ws.size - kept.size).toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("property: substr/spans/cutspans equal the brute-force positional reference") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.rng.Seed
     val word = Gen.oneOf((0 until 12).map(i => s"w$i"))
@@ -144,11 +160,55 @@ class DedupSubstrSpec extends SparkSpecBase {
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val spansGot = SparkEntry.queries("q_dedup_substr_spans")(spark, dir)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      got == bruteSubstr(docs) && spansGot == bruteSpans(docs)
+      // cutspans emits one row per doc; split('', ' ') yields [""] so an
+      // empty generated doc surfaces as one empty-string word — mirror it
+      val cutDocs = docs.map { case (id, ws) =>
+        (id, if (ws.isEmpty) Seq("") else ws)
+      }
+      val cutGot = SparkEntry.queries("q_dedup_cutspans")(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      got == bruteSubstr(docs) && spansGot == bruteSpans(docs) &&
+        cutGot == bruteCut(cutDocs)
     }
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(8).withInitialSeed(Seed(42L)).withWorkers(1), prop)
     assert(res.passed, s"substr property: ${res.status}")
+  }
+
+  test("property: q_text_tfidf equals the brute-force df-normalized ranking") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf((0 until 6).map(i => s"t$i")) // small vocab -> df > 1
+    val corpusGen = for {
+      nDocs <- Gen.choose(2, 5)
+      docs <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(word).map(_.take(12)))
+    } yield docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws) }
+    var n = 0
+    val prop = Prop.forAll(corpusGen) { docs =>
+      n += 1
+      val dir = s"synth://prop-tfidf-$n"
+      seedDocs(dir, docs.map { case (id, ws) => (id, ws.mkString(" ")) })
+      val tf = docs.flatMap { case (id, ws) => ws.map(w => (id, w)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val want = docs.flatMap { case (id, ws) =>
+        ws.distinct
+          .map(w => (w, tf((id, w)), df(w)))
+          .sortBy { case (w, t, d) => (-(t.toDouble / d), w) } // ties -> term asc
+          .take(3).zipWithIndex
+          .map { case ((w, t, d), i) => (id, w, t, d, i + 1) }
+      }.toSet
+      val got = SparkEntry.queries("q_text_tfidf")(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+        .toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(8).withInitialSeed(Seed(42L)).withWorkers(1), prop)
+    assert(res.passed, s"tfidf property: ${res.status}")
   }
 
   test("cutspans plan: the cover probe is a hash existence join, never a nested loop") {
