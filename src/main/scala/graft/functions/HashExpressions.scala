@@ -148,6 +148,7 @@ object Natives {
     */
   val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("dot_f", classOf[DotF], exprs => DotF(exprs(0), exprs(1))),
+    ("dot_l", classOf[DotL], exprs => DotL(exprs(0), exprs(1))),
     ("md5_long", classOf[Md5Long], exprs => Md5Long(exprs(0))),
     ("count_in", classOf[CountIn], exprs => CountIn(exprs.head, exprs.tail.map(str))))
 }

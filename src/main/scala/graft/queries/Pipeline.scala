@@ -195,6 +195,70 @@ object Pipeline extends QModule {
     Some(pipelineSql("duck")),
     bench = true)
 
+  /** The EMBEDDING-side curation flagship — [[qPipelineClean]]'s twin for
+    * the no-labels corpus: SemDeDup-style semantic dedup decisions inside
+    * LEARNED clusters (the memoized IVF index from [[Sim.ivfIndex]] — the
+    * quantizer is never retrained at decision time), survivors joined to
+    * their documents through a metadata gate (lang + length), then
+    * deterministically md5-sharded into 16 output buckets with a per-shard
+    * manifest (docs, distinct langs, char volume) — the artifact a
+    * training-data writer consumes.
+    *
+    * Scale: the pair stage is cell-blocked (Σ cell², the SemDeDup knob),
+    * removal is a distinct projection + one left-anti join, the doc join
+    * keys on doc_id (co-partitionable with the corpus layout), and the
+    * shard key is pure content-md5 — deterministic under retry and
+    * cluster size, same contract [[graft.RetrySpec]] proves by injection.
+    */
+  private val pipelineEmbedDuckSql: String = s"""
+      WITH ${Sim.ivfListsCtes("duck")},
+      rem AS (SELECT DISTINCT b.vec_id
+              FROM lists a JOIN lists b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE ${Sim.dot("duck", "a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= CAST(0.4 AS DOUBLE)),
+      kept AS (SELECT l.vec_id FROM lists l LEFT JOIN rem r ON r.vec_id = l.vec_id
+               WHERE r.vec_id IS NULL),
+      surv AS (SELECT d.doc_id, d.lang, d.n_chars
+               FROM documents d JOIN kept k ON k.vec_id = d.doc_id
+               WHERE d.lang IN ('en', 'de', 'fr') AND d.n_chars >= 60)
+      SELECT CAST(strpos('0123456789abcdef',
+               substring(md5(CONCAT('embshard:', CAST(doc_id AS VARCHAR))), 1, 1)) - 1 AS INT) AS shard,
+             COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM surv GROUP BY 1"""
+
+  val qPipelineEmbed = QDef(
+    "q_pipeline_embed",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      val (_, lists) = Sim.ivfIndex(s, d)
+      val a = lists.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nrm").as("an"), col("cell"))
+      val b = lists.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("bn"), col("cell"))
+      val removed = a.join(b, "cell")
+        .where(col("a_id") < col("b_id"))
+        .where((expr(Sim.dot("spark", "ae", "be")) / (col("an") * col("bn")))
+          >= lit(0.4))
+        .select(col("b_id").as("vec_id")).distinct()
+      val kept = lists.select("vec_id").join(removed, Seq("vec_id"), "left_anti")
+      val surv = t(s, d, "documents")
+        .where(col("lang").isin("en", "de", "fr") && col("n_chars") >= 60)
+        .join(kept, col("doc_id") === kept("vec_id"))
+      surv
+        .withColumn("shard", expr(
+          "CAST(instr('0123456789abcdef', " +
+            "substring(md5(CONCAT('embshard:', CAST(doc_id AS STRING))), 1, 1)) - 1 AS INT)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select("shard", "n_docs", "n_langs", "total_chars")
+    },
+    Some(pipelineEmbedDuckSql),
+    bench = true)
+
   val defs: Seq[QDef] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qTpchQ18,
-    qTpcdsQ1, qTpcdsQ27, qTpcdsQ64, qPipelineClean)
+    qTpcdsQ1, qTpcdsQ27, qTpcdsQ64, qPipelineClean, qPipelineEmbed)
 }

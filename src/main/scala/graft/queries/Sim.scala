@@ -22,7 +22,7 @@ object Sim extends QModule {
     * GraftExtensions); semantically the identical left fold, ~10x the
     * interpreted `aggregate(zip_with(...))` composition on the ANN path.
     */
-  private def dot(dialect: String, a: String, b: String): String = dialect match {
+  private[queries] def dot(dialect: String, a: String, b: String): String = dialect match {
     case "spark" => s"dot_f($a, $b)"
     case _ =>
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip($a, $b), " +
@@ -238,7 +238,7 @@ object Sim extends QModule {
   /** Per-(label, pos) quantized-mean component relation (the coarse-
     * quantizer training scan), shared by [[qSimIvf]] and [[qSimIvfTopk]].
     */
-  private def ivfCompRel(dialect: String): String = dialect match {
+  private[queries] def ivfCompRel(dialect: String): String = dialect match {
     case "spark" => """
         SELECT label, pos,
                CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 / COUNT(*) AS c
@@ -253,7 +253,7 @@ object Sim extends QModule {
   }
 
   /** Centroid vectors re-assembled from `comp`, ordered by position. */
-  private def ivfCentSel(dialect: String): String = dialect match {
+  private[queries] def ivfCentSel(dialect: String): String = dialect match {
     case "spark" =>
       "SELECT label AS c_label, transform(sort_array(collect_list(struct(pos, c))), s -> s.c) AS ce FROM comp GROUP BY label"
     case _ =>
@@ -264,7 +264,7 @@ object Sim extends QModule {
     * (double centroid vector) — same left-fold determinism contract as
     * [[dot]].
     */
-  private def d2Expr(dialect: String, a: String, b: String): String = dialect match {
+  private[queries] def d2Expr(dialect: String, a: String, b: String): String = dialect match {
     case "spark" =>
       s"aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), " +
         "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -357,7 +357,7 @@ object Sim extends QModule {
     * text as the one-shot SQL, so results stay bit-identical to the
     * DuckDB oracle.
     */
-  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String)
+  private[queries] def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     // Both index tables are built as CTE-FREE SQL (nested subqueries, not
     // WITH): an analyzed plan carrying WithCTE/CTERelationRef nodes breaks
@@ -557,19 +557,7 @@ object Sim extends QModule {
     Some {
       val d = (a: String, b: String) => dot("duck", a, b)
       s"""
-      WITH comp AS (${ivfCompRel("duck")}),
-      cent AS (${ivfCentSel("duck")}),
-      e AS (SELECT vec_id, embedding,
-                   sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
-      dist AS (SELECT e.vec_id, c.c_label,
-                      ${d2Expr("duck", "e.embedding", "c.ce")} AS d2
-               FROM e CROSS JOIN cent c),
-      asg AS (SELECT vec_id, c_label FROM (
-                SELECT vec_id, c_label,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
-                FROM dist) x WHERE rn = 1),
-      lists AS (SELECT e.vec_id, e.embedding, e.nrm, a.c_label AS cell
-                FROM e JOIN asg a ON a.vec_id = e.vec_id),
+      WITH ${ivfListsCtes("duck")},
       rem AS (SELECT DISTINCT b.vec_id
               FROM lists a JOIN lists b
                 ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -581,7 +569,86 @@ object Sim extends QModule {
       FROM flagged GROUP BY cell"""
     })
 
+  /** Scalar-quantized (int8) cosine top-k — the memory-bound ANN variant:
+    * every float32 vector is quantized to symmetric int8 codes with a
+    * per-vector scale (max|x|/127, the classic SQ8 scheme), and ALL
+    * similarity arithmetic then runs on the integer codes. The per-vector
+    * scales cancel in the cosine, so the score is dq/√(dqa·dqb) over
+    * EXACT 64-bit integer dot products — bit-identical across engines
+    * because no float rounding participates until one final
+    * sqrt/division per pair (rounding itself is the portable
+    * floor(x+0.5), the same idiom as the centroid quantization).
+    *
+    * Spark side runs the codes through the native codegen'd
+    * [[graft.functions.DotL]] kernel; the DuckDB oracle is the
+    * semantically identical BIGINT list fold.
+    *
+    * Scale: this is the 4× scan-volume knob at 100 TB — the codes table
+    * (1 byte/dim physical + one scale) is what the ANN kernel reads and
+    * shuffles, the float32 embeddings stay cold; it composes with the
+    * IVF/LSH candidate bounding (quantize the inverted lists). Recall
+    * vs the float kernel is measured in the spec against [[qSimTopk]];
+    * the oracle verifies the quantized computation itself bit-exactly.
+    */
+  /** The `comp/cent/e/dist/asg/lists` CTE chain that reconstructs the
+    * memoized IVF index ([[ivfIndex]]) in one-shot oracle SQL — shared by
+    * [[qDedupSemantic]]'s oracle and the Pipeline embedding flagship's,
+    * so the index semantics are pinned in exactly one place.
+    */
+  private[queries] def ivfListsCtes(dialect: String): String = {
+    val d = (a: String, b: String) => dot(dialect, a, b)
+    s"""comp AS (${ivfCompRel(dialect)}),
+      cent AS (${ivfCentSel(dialect)}),
+      e AS (SELECT vec_id, embedding,
+                   sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
+      dist AS (SELECT e.vec_id, c.c_label,
+                      ${d2Expr(dialect, "e.embedding", "c.ce")} AS d2
+               FROM e CROSS JOIN cent c),
+      asg AS (SELECT vec_id, c_label FROM (
+                SELECT vec_id, c_label,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+                FROM dist) x WHERE rn = 1),
+      lists AS (SELECT e.vec_id, e.embedding, e.nrm, a.c_label AS cell
+                FROM e JOIN asg a ON a.vec_id = e.vec_id)"""
+  }
+
+  private def quantTopkSql(dialect: String): String = {
+    val (xform, maxabs) = dialect match {
+      case "spark" => ("transform", "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+      case _ => ("list_transform", "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    }
+    val qdot = (a: String, b: String) => dialect match {
+      case "spark" => s"dot_l($a, $b)"
+      case _ =>
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip($a, $b), " +
+          "p -> p[1] * p[2])), (acc, v) -> acc + v)"
+    }
+    s"""
+      WITH sc AS (SELECT vec_id, embedding,
+                         greatest($maxabs, CAST(1e-30 AS DOUBLE)) / 127 AS scale
+                  FROM embeddings),
+      c AS (SELECT vec_id,
+                   $xform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS code
+            FROM sc),
+      n AS (SELECT vec_id, code, ${qdot("code", "code")} AS dq FROM c),
+      q AS (SELECT vec_id AS q_id, code AS qc, dq AS qd FROM n WHERE vec_id < 10),
+      p AS (SELECT q.q_id, n.vec_id AS n_id,
+                   CAST(${qdot("q.qc", "n.code")} AS DOUBLE)
+                     / (sqrt(CAST(q.qd AS DOUBLE)) * sqrt(CAST(n.dq AS DOUBLE))) AS qcos
+            FROM q JOIN n ON n.vec_id <> q.q_id),
+      r AS (SELECT q_id, n_id, qcos,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) AS INTEGER) AS rnk
+            FROM p)
+      SELECT q_id, n_id, qcos, rnk FROM r WHERE rnk <= 5"""
+  }
+
+  val qSimQuantTopk = QDef(
+    "q_sim_quant_topk",
+    sqlQ(quantTopkSql("spark")),
+    Some(quantTopkSql("duck")),
+    bench = true)
+
   val defs: Seq[QDef] = Seq(
     qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf,
-    qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimKnnJoin)
+    qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimKnnJoin, qSimQuantTopk)
 }

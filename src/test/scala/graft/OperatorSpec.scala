@@ -196,6 +196,33 @@ class OperatorSpec extends SparkSpecBase {
     assert(recall > 0.3, s"IVF recall $recall suspiciously low")
   }
 
+  test("dot_l exact integer fold: value, int/long mix, null semantics") {
+    Tables.ensureFunctions(spark)
+    val r = spark.sql(
+      """SELECT
+        |  dot_l(array(1L, -2L, 3L), array(4L, 5L, 6L)) AS ok,
+        |  dot_l(array(1, 2), array(3L, 4L)) AS mixed,
+        |  dot_l(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS null_arr,
+        |  dot_l(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS null_elem,
+        |  dot_l(array(1L, 2L), array(3L)) AS ragged""".stripMargin).head()
+    assert(r.getLong(0) == 12L)
+    assert(r.getLong(1) == 11L)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("SQ8-quantized ANN ranks nearly like the float kernel (recall@5)") {
+    val brute = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SparkEntry.queries("q_sim_quant_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quant.nonEmpty, "quantized search produced no neighbors")
+    val recall = (brute & quant).size.toDouble / brute.size
+    // per-vector max-abs int8 over 64 dims perturbs each cosine by ~1e-2,
+    // so the top-5 neighbor sets should survive nearly unchanged — a low
+    // number here means the quantizer (not the fixture) broke
+    assert(recall > 0.6, s"SQ8 recall $recall suspiciously low")
+  }
+
   test("IVF probe plan reads the materialized index, not the parquet fact (r6 perf defect)") {
     // The r6 one-shot SQL silently retrained the quantizer per execution
     // (inlined CTEs, ~10x the oracle). Lock the fix structurally: after
