@@ -590,28 +590,6 @@ object Sim extends QModule {
     * vs the float kernel is measured in the spec against [[qSimTopk]];
     * the oracle verifies the quantized computation itself bit-exactly.
     */
-  /** The `comp/cent/e/dist/asg/lists` CTE chain that reconstructs the
-    * memoized IVF index ([[ivfIndex]]) in one-shot oracle SQL — shared by
-    * [[qDedupSemantic]]'s oracle and the Pipeline embedding flagship's,
-    * so the index semantics are pinned in exactly one place.
-    */
-  private[queries] def ivfListsCtes(dialect: String): String = {
-    val d = (a: String, b: String) => dot(dialect, a, b)
-    s"""comp AS (${ivfCompRel(dialect)}),
-      cent AS (${ivfCentSel(dialect)}),
-      e AS (SELECT vec_id, embedding,
-                   sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
-      dist AS (SELECT e.vec_id, c.c_label,
-                      ${d2Expr(dialect, "e.embedding", "c.ce")} AS d2
-               FROM e CROSS JOIN cent c),
-      asg AS (SELECT vec_id, c_label FROM (
-                SELECT vec_id, c_label,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
-                FROM dist) x WHERE rn = 1),
-      lists AS (SELECT e.vec_id, e.embedding, e.nrm, a.c_label AS cell
-                FROM e JOIN asg a ON a.vec_id = e.vec_id)"""
-  }
-
   private def quantTopkSql(dialect: String): String = {
     val (xform, maxabs) = dialect match {
       case "spark" => ("transform", "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
@@ -640,6 +618,28 @@ object Sim extends QModule {
                    CAST(row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) AS INTEGER) AS rnk
             FROM p)
       SELECT q_id, n_id, qcos, rnk FROM r WHERE rnk <= 5"""
+  }
+
+  /** The `comp/cent/e/dist/asg/lists` CTE chain that reconstructs the
+    * memoized IVF index ([[ivfIndex]]) in one-shot oracle SQL — shared by
+    * [[qDedupSemantic]]'s oracle and the Pipeline embedding flagship's,
+    * so the index semantics are pinned in exactly one place.
+    */
+  private[queries] def ivfListsCtes(dialect: String): String = {
+    val d = (a: String, b: String) => dot(dialect, a, b)
+    s"""comp AS (${ivfCompRel(dialect)}),
+      cent AS (${ivfCentSel(dialect)}),
+      e AS (SELECT vec_id, embedding,
+                   sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
+      dist AS (SELECT e.vec_id, c.c_label,
+                      ${d2Expr(dialect, "e.embedding", "c.ce")} AS d2
+               FROM e CROSS JOIN cent c),
+      asg AS (SELECT vec_id, c_label FROM (
+                SELECT vec_id, c_label,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+                FROM dist) x WHERE rn = 1),
+      lists AS (SELECT e.vec_id, e.embedding, e.nrm, a.c_label AS cell
+                FROM e JOIN asg a ON a.vec_id = e.vec_id)"""
   }
 
   val qSimQuantTopk = QDef(
