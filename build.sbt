@@ -36,14 +36,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // HiveSpec + ThriftServerSpec flip spark.sql.catalogImplementation=hive (a
 // static conf fixed at SharedState creation), RetrySpec needs a
 // local[4,2] master (task retries — maxFailures is a context property).
-val ownJvmSuites = Seq("HiveSpec", "ThriftServerSpec", "RetrySpec")
+// ClusterSpec needs a local-cluster[2,2,1024] master (separate executor
+// JVM processes — the only way to exercise speculation, which
+// TaskSchedulerImpl disables under isLocal).
+val ownJvmSuites = Seq("HiveSpec", "ThriftServerSpec", "RetrySpec", "ClusterSpec")
 Test / testGrouping := {
   val jvmOpts = (Test / javaOptions).value.toVector
+  // ClusterSpec's in-process Worker builds executor launch commands via the
+  // launcher library directly (no bin/load-spark-env.sh), which needs
+  // SPARK_SCALA_VERSION to resolve the binary dist's jars dir.
+  val env = Map("SPARK_SCALA_VERSION" -> "2.13")
   val (own, rest) = (Test / definedTests).value
     .partition(t => ownJvmSuites.exists(t.name.endsWith))
   (own.map(t => Tests.Group(t.name, Seq(t),
-    Tests.SubProcess(ForkOptions().withRunJVMOptions(jvmOpts)))) :+
+    Tests.SubProcess(ForkOptions().withRunJVMOptions(jvmOpts).withEnvVars(env)))) :+
     Tests.Group("rest", rest,
-      Tests.SubProcess(ForkOptions().withRunJVMOptions(jvmOpts))))
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(jvmOpts).withEnvVars(env))))
     .filter(_.tests.nonEmpty)
 }
