@@ -648,7 +648,193 @@ object Sim extends QModule {
     Some(quantTopkSql("duck")),
     bench = true)
 
+  /** Product-quantization ANN with asymmetric distance computation (PQ +
+    * ADC, Jegou et al. 2011, public) — the third compression point on the
+    * ANN memory/recall curve after SQ8 ([[qSimQuantTopk]]) and raw
+    * floats: 64 dims split into m = 16 subspaces of 4 dims; each
+    * subspace gets a 32-codeword codebook trained by REAL k-means
+    * (deterministic first-K init + one Lloyd refinement, empty cells
+    * keep their previous codeword); every vector is ENCODED as 16 small
+    * codes (5 bits each — 10 bytes/vector vs 256), and a query scores
+    * the whole corpus by summing 16 per-subspace lookup-table entries
+    * per candidate. The query side stays exact float — the "asymmetric"
+    * in ADC; the candidate norm is code-derived.
+    *
+    * Like the IVF index ([[ivfIndex]]), the trained codebook, the codes
+    * table, and the code-derived norms are memoized per (session,
+    * sf-dir) via [[graft.SessionCache]] — index-build once, probe many;
+    * the declared query's plan touches only the three persisted tables.
+    * The oracle replays the whole train+encode+probe chain one-shot.
+    *
+    * Determinism: init is first-K by vec_id; Lloyd means live on the 1e8
+    * BIGINT grid; all distances/dots are ordered folds; argmin ties
+    * break on (d2, w); the m-term ADC sums run through [[graft.Exact]]
+    * so partial-aggregation merge order cannot skew a double — every
+    * pq_sim is bit-identical to the oracle's.
+    *
+    * Scale: training touches K·m tiny codewords (broadcast); encode is
+    * one broadcast-codebook scan (the IVF-assignment shape); the
+    * per-query probe is m·K lookup-table rows joined to the CODES table
+    * on (sub, code) — bounded fan-out, the float corpus stays cold.
+    * Recall vs the float kernel is spec-measured against [[qSimTopk]]
+    * (~0.46 recall@5 on the near-random fixture at 26x compression —
+    * honest for PQ on incompressible data; trained codebooks lifted it
+    * from 0.08 under label-mean codebooks, the measured justification
+    * for the Lloyd step).
+    */
+  private val pqW = 4            // subspace width
+  private val pqM = 64 / pqW     // 16 subspaces
+  private val pqK = 32           // codewords per subspace
+
+  private[queries] def pqIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val sv = graft.SessionCache.memo(s, s"pq_sv:$d") {
+      graft.Tables.register(s, d)
+      s.sql(s"""
+        SELECT vec_id, sub, slice(embedding, sub * $pqW + 1, $pqW) AS v
+        FROM embeddings LATERAL VIEW explode(sequence(0, ${pqM - 1})) t AS sub""")
+        .persist()
+    }
+    sv.createOrReplaceTempView("pq_sv")
+    val cw0 = graft.SessionCache.memo(s, s"pq_cw0:$d") {
+      s.sql(s"""
+        SELECT vec_id AS w, sub, transform(v, x -> CAST(x AS DOUBLE)) AS cv
+        FROM pq_sv WHERE vec_id < $pqK""").persist()
+    }
+    cw0.createOrReplaceTempView("pq_cw0")
+    // One Lloyd refinement from the first-K init: reassign, recompute
+    // grid-means per (sub, code, pos), keep the old codeword for empty
+    // cells. Views above resolve to the PERSISTED InMemoryRelations, so
+    // the repeated references here do not re-scan parquet.
+    val cw = graft.SessionCache.memo(s, s"pq_cw:$d") {
+      s.sql(s"""
+        SELECT c0.sub, c0.w, COALESCE(m.cv, c0.cv) AS cv
+        FROM pq_cw0 c0 LEFT JOIN (
+          SELECT sub, code AS w,
+                 transform(sort_array(collect_list(struct(pos, c))), x -> x.c) AS cv
+          FROM (
+            SELECT a.sub, a.code, p.pos,
+                   CAST(SUM(CAST(floor(CAST(p.v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 / COUNT(*) AS c
+            FROM (
+              SELECT vec_id, sub, w AS code FROM (
+                SELECT sv.vec_id, sv.sub, c.w,
+                       row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                         ORDER BY ${d2Expr("spark", "sv.v", "c.cv")}, c.w) AS rn
+                FROM pq_sv sv JOIN pq_cw0 c ON c.sub = sv.sub) x WHERE rn = 1) a
+            JOIN pq_sv s2 ON s2.vec_id = a.vec_id AND s2.sub = a.sub
+            LATERAL VIEW posexplode(s2.v) p AS pos, v
+            GROUP BY a.sub, a.code, p.pos) g
+          GROUP BY sub, code) m
+        ON m.sub = c0.sub AND m.w = c0.w""").persist()
+    }
+    cw.createOrReplaceTempView("pq_cw")
+    val codes = graft.SessionCache.memo(s, s"pq_codes:$d") {
+      s.sql(s"""
+        SELECT vec_id, sub, w AS code FROM (
+          SELECT sv.vec_id, sv.sub, c.w,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                   ORDER BY ${d2Expr("spark", "sv.v", "c.cv")}, c.w) AS rn
+          FROM pq_sv sv JOIN pq_cw c ON c.sub = sv.sub) x WHERE rn = 1""")
+        .persist()
+    }
+    codes.createOrReplaceTempView("pq_codes")
+    val xn = graft.SessionCache.memo(s, s"pq_xn:$d") {
+      s.sql(s"""
+        SELECT a.vec_id, ${graft.Exact.dsumSql("n.nn2", 8)} AS an2
+        FROM pq_codes a JOIN (SELECT sub, w, dot_f(cv, cv) AS nn2 FROM pq_cw) n
+          ON n.sub = a.sub AND n.w = a.code
+        GROUP BY a.vec_id""").persist()
+    }
+    graft.SessionCache.memo(s, s"pq_built:$d") {
+      cw.count(); codes.count(); xn.count(); cw.limit(0)
+    }
+    (cw, codes, xn)
+  }
+
+  /** The one-shot oracle: the full train → encode → probe chain as a
+    * single DuckDB statement (K-init, one Lloyd step, ADC scan) —
+    * identical arithmetic to the memoized Spark path.
+    */
+  private val pqTopkDuckSql: String = {
+    val d = (a: String, b: String) => dot("duck", a, b)
+    val d2 = (a: String, b: String) => d2Expr("duck", a, b)
+    s"""
+      WITH sv AS (SELECT vec_id, s.sub,
+                         list_slice(embedding, s.sub * $pqW + 1, s.sub * $pqW + $pqW) AS v
+                  FROM embeddings, (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub) s),
+      cw0 AS (SELECT vec_id AS w, sub, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
+              FROM sv WHERE vec_id < $pqK),
+      asg1 AS (SELECT vec_id, sub, w AS code FROM (
+                 SELECT sv.vec_id, sv.sub, c.w,
+                        row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                          ORDER BY ${d2("sv.v", "c.cv")}, c.w) AS rn
+                 FROM sv JOIN cw0 c ON c.sub = sv.sub) x WHERE rn = 1),
+      mean1 AS (SELECT sub, code AS w, list(c ORDER BY pos) AS cv FROM (
+                  SELECT a.sub, a.code, p.pos,
+                         CAST(SUM(CAST(floor(CAST(p.v AS DOUBLE) * 1e8 + 0.5) AS BIGINT)) AS DOUBLE) / 1e8 / COUNT(*) AS c
+                  FROM asg1 a JOIN sv s2 ON s2.vec_id = a.vec_id AND s2.sub = a.sub,
+                       LATERAL (SELECT generate_subscripts(s2.v, 1) - 1 AS pos, unnest(s2.v) AS v) p
+                  GROUP BY a.sub, a.code, p.pos) g GROUP BY sub, code),
+      cw AS (SELECT c0.sub, c0.w, COALESCE(m.cv, c0.cv) AS cv
+             FROM cw0 c0 LEFT JOIN mean1 m ON m.sub = c0.sub AND m.w = c0.w),
+      codes AS (SELECT vec_id, sub, w AS code FROM (
+                  SELECT sv.vec_id, sv.sub, c.w,
+                         row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                           ORDER BY ${d2("sv.v", "c.cv")}, c.w) AS rn
+                  FROM sv JOIN cw c ON c.sub = sv.sub) x WHERE rn = 1),
+      cwn AS (SELECT sub, w, ${d("cv", "cv")} AS nn2 FROM cw),
+      xn AS (SELECT a.vec_id, ${graft.Exact.dsumSql("n.nn2", 8)} AS an2
+             FROM codes a JOIN cwn n ON n.sub = a.sub AND n.w = a.code
+             GROUP BY a.vec_id),
+      e AS (SELECT vec_id, embedding, sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
+      tab AS (SELECT q.q_id, c.sub, c.w,
+                     ${d(s"list_slice(q.qe, c.sub * $pqW + 1, c.sub * $pqW + $pqW)", "c.cv")} AS dq
+              FROM q CROSS JOIN cw c),
+      p AS (SELECT t.q_id, a.vec_id AS n_id, ${graft.Exact.dsumSql("t.dq", 8)} AS adot
+            FROM codes a JOIN tab t ON t.sub = a.sub AND t.w = a.code
+            WHERE a.vec_id <> t.q_id
+            GROUP BY t.q_id, a.vec_id),
+      scr AS (SELECT p.q_id, p.n_id, p.adot / (q.qn * sqrt(x.an2)) AS pq_sim
+              FROM p JOIN q ON q.q_id = p.q_id JOIN xn x ON x.vec_id = p.n_id),
+      r AS (SELECT q_id, n_id, pq_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY pq_sim DESC, n_id) AS INTEGER) AS rnk
+            FROM scr)
+      SELECT q_id, n_id, pq_sim, rnk FROM r WHERE rnk <= 5"""
+  }
+
+  val qSimPqTopk = QDef(
+    "q_sim_pq_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (cw, codes, xn) = pqIndex(s, d)
+      val q = graft.Tables.load(s, d, "embeddings")
+        .where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          expr("sqrt(dot_f(embedding, embedding))").as("qn"))
+      val tab = q.crossJoin(broadcast(cw))
+        .select(col("q_id"), col("sub").as("t_sub"), col("w"),
+          expr(s"dot_f(slice(qe, sub * $pqW + 1, $pqW), cv)").as("dq"))
+      val a = codes.select(col("vec_id").as("n_id"), col("sub").as("a_sub"), col("code"))
+      val p = a.join(tab, col("a_sub") === col("t_sub") && col("code") === col("w"))
+        .where(col("n_id") =!= col("q_id"))
+        .groupBy("q_id", "n_id")
+        .agg(expr(graft.Exact.dsumSql("dq", 8)).as("adot"))
+      p.join(q.select("q_id", "qn"), "q_id")
+        .join(xn.withColumnRenamed("vec_id", "n_id"), "n_id")
+        .withColumn("pq_sim", col("adot") / (col("qn") * sqrt(col("an2"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("pq_sim").desc, col("n_id")))
+          .cast("int"))
+        .where(col("rnk") <= 5)
+        .select("q_id", "n_id", "pq_sim", "rnk")
+    },
+    Some(pqTopkDuckSql),
+    bench = true)
+
   val defs: Seq[QDef] = Seq(
     qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf,
-    qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimKnnJoin, qSimQuantTopk)
+    qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimKnnJoin, qSimQuantTopk,
+    qSimPqTopk)
 }

@@ -223,6 +223,20 @@ class OperatorSpec extends SparkSpecBase {
     assert(recall > 0.6, s"SQ8 recall $recall suspiciously low")
   }
 
+  test("PQ-ADC ANN recall reflects a trained codebook, not a broken one") {
+    val brute = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("q_sim_pq_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq.nonEmpty, "PQ search produced no neighbors")
+    val recall = (brute & pq).size.toDouble / brute.size
+    // 26x compression on near-random 64-d embeddings: measured 0.46 with
+    // the k-means-trained codebooks vs 0.08 with label-mean codebooks —
+    // the floor guards the training step keeps working, not a tuned
+    // recall target (random data is fundamentally incompressible)
+    assert(recall > 0.25, s"PQ recall $recall — codebook training degraded")
+  }
+
   test("IVF probe plan reads the materialized index, not the parquet fact (r6 perf defect)") {
     // The r6 one-shot SQL silently retrained the quantizer per execution
     // (inlined CTEs, ~10x the oracle). Lock the fix structurally: after
