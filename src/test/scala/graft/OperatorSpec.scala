@@ -914,4 +914,33 @@ class OperatorSpec extends SparkSpecBase {
     assert(s6.linesIterator.exists(l => l.contains("Join") && l.contains("c_nationkey")),
       s"Q6 lost the nation-key decorrelation join:\n$s6")
   }
+
+  test("TPC-DS batch-12 shapes: one fact aggregate feeds both rank directions, six distinct legs, OR'd existence join") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q44: the fact aggregates ONCE — the single-linear-chain rewrite
+    // (window gate + one rank pass + 2-row VALUES flat-map) must not
+    // recompute the part-grain CTE (the q_sim_ivf_topk inlining lesson)
+    val s44 = plan("q_tpcds_q44")
+    val factScans44 = s44.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans44 == 1, s"Q44 re-scans the fact ($factScans44 lineitem scans):\n$s44")
+    assert(s44.linesIterator.count(_.contains("Window")) >= 2,
+      s"Q44 lost the gate/rank windows:\n$s44")
+    // Q28: six independent band legs, each a two-phase distinct aggregate
+    // (single-distinct rewrite: partial group-by the distinct column,
+    // then partial_count(distinct ...) merge), collapsing to single-row
+    // broadcast cross joins — six distinct pipelines, never a blowup
+    val s28 = plan("q_tpcds_q28")
+    assert(s28.linesIterator.count(_.contains("partial_count(distinct")) == 6,
+      s"Q28 lost a distinct-aggregate leg:\n$s28")
+    // Q45: the OR'd IN-subquery must plan as an ExistenceJoin (flag
+    // column), not a per-row subquery and not a semi join that would
+    // wrongly drop the local-predicate disjunct
+    val s45 = plan("q_tpcds_q45")
+    assert(s45.contains("ExistenceJoin"),
+      s"Q45 OR'd IN-subquery did not plan as ExistenceJoin:\n$s45")
+    assert(!s45.contains("CartesianProduct") && !s45.contains("BroadcastNestedLoop"),
+      s"Q45 degraded:\n$s45")
+  }
 }
