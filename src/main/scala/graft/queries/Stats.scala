@@ -323,7 +323,42 @@ object Stats extends QModule {
       WHERE rn <= 10"""
   val qStatQuota = QDef("q_stat_quota", sqlQ(quotaSql), Some(quotaSql))
 
+  /** Token-budget mixture selection — the "assemble a 1T-token training
+    * mix" primitive: each language gets a TOKEN budget (not a doc-count
+    * quota like [[qStatQuota]]), documents are taken in deterministic
+    * content-hash order, and a doc is kept iff its per-lang cumulative
+    * token count still fits the budget. The running sum is exact BIGINT
+    * over whitespace token counts, so the cut point is identical on any
+    * engine, cluster size, or retry.
+    *
+    * Scale (100 TB): one scan projecting (lang, doc, n_tok), one shuffle
+    * on lang, one ordered window per partition. A language big enough to
+    * swamp a single partition's sort gets the two-pass prefix-sum form
+    * (shard by hash prefix, per-shard subtotals broadcast as offsets) —
+    * the same fallback documented for q_text_pack; the decision logic
+    * (cum ≤ budget) is unchanged.
+    */
+  private def tokenBudgetSql(dialect: String): String = {
+    val nTok = dialect match {
+      case "spark" => "CAST(size(split(text, ' ')) AS BIGINT)"
+      case _       => "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    }
+    s"""
+      SELECT lang, doc_id, n_tok, cum_tok FROM (
+        SELECT lang, doc_id, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+        FROM (SELECT lang, doc_id, $nTok AS n_tok FROM documents) t) c
+      WHERE cum_tok <= CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2500 ELSE 1500 END"""
+  }
+  val qStatTokenBudget = QDef(
+    "q_stat_token_budget",
+    sqlQ(tokenBudgetSql("spark")),
+    Some(tokenBudgetSql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qStatCrosstab, qStatCovCorr, qStatBuiltin, qStatApproxQuantile, qStatSampleBy,
-    qStatMixture, qStatSplit, qStatRegr, qStatRegrBuiltin, qStatQuota)
+    qStatMixture, qStatSplit, qStatRegr, qStatRegrBuiltin, qStatQuota,
+    qStatTokenBudget)
 }

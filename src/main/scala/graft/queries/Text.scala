@@ -451,9 +451,71 @@ object Text extends QModule {
     sqlQ(tfidfSql("spark")),
     Some(tfidfSql("duck")))
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", public): score every
+    * document by how much more likely its unigrams are under a TARGET
+    * domain (here: the `lang = 'en'` slice) than under the whole-corpus
+    * background, and keep the top quarter. The per-token weight is
+    * `log p_tgt(w) − log p_bg(w)`; each log runs through the same
+    * flip-proof INTEGER log2 bucket as [[qTextLmScore]] (add-one
+    * smoothed), so the per-doc sum is exact BIGINT arithmetic and the
+    * only doubles are two correctly-rounded single divisions mirrored on
+    * both engines. `llr_bits` is the mean per-token bucket difference
+    * normalized by the corpus-size buckets; `keep` marks the top-25%
+    * ranked by (llr_bits, doc_id).
+    *
+    * Scale (100 TB): ONE corpus explode → one map-side-combinable
+    * (doc, term) aggregate; the target/background frequencies come from
+    * a term-partitioned window over that SAME relation (the tfidf
+    * lesson — no second freq aggregate whose CTE consumer re-explodes
+    * the corpus), so the whole plan is a single linear chain with one
+    * fact scan. The global totals and the rank run at DOC grain (tiny).
+    * Production DSIR hashes n-grams into a fixed-width bucket space to
+    * bound the "vocab" — same plan, the term key becomes a hash bucket;
+    * and the top-k cut would use an approx-quantile threshold instead
+    * of a global rank when doc count outgrows one partition's sort.
+    */
+  private def dsirSql(dialect: String): String = {
+    val wordsRel = dialect match {
+      case "spark" => "SELECT doc_id, lang, explode(split(lower(text), ' ')) AS w FROM documents"
+      case _       => "SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents"
+    }
+    val lb = (e: String) => s"CAST(FLOOR(LOG2(CAST($e AS DOUBLE))) AS BIGINT)"
+    s"""
+      WITH tf AS (SELECT doc_id, lang, w, COUNT(*) AS c
+                  FROM ($wordsRel) g WHERE w <> '' GROUP BY doc_id, lang, w),
+      wf AS (SELECT doc_id, lang, c,
+                    SUM(c) OVER (PARTITION BY w) AS cb,
+                    SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) OVER (PARTITION BY w) AS ct
+             FROM tf),
+      scored AS (SELECT doc_id, lang,
+                        CAST(SUM(c) AS BIGINT) AS n_grams,
+                        CAST(SUM(c * (${lb("ct + 1")} - ${lb("cb + 1")})) AS BIGINT) AS lb_diff
+                 FROM wf GROUP BY doc_id, lang),
+      totals AS (SELECT doc_id, n_grams, lb_diff,
+                        CAST(SUM(n_grams) OVER () AS BIGINT) AS nb,
+                        CAST(SUM(CASE WHEN lang = 'en' THEN n_grams ELSE 0 END) OVER () AS BIGINT) AS nt
+                 FROM scored),
+      llr AS (SELECT doc_id, n_grams,
+                     CAST(lb_diff AS DOUBLE) / n_grams - (${lb("nt")} - ${lb("nb")}) AS llr_bits
+              FROM totals),
+      ranked AS (SELECT doc_id, n_grams, llr_bits,
+                        ROW_NUMBER() OVER (ORDER BY llr_bits DESC, doc_id) AS rn,
+                        COUNT(*) OVER () AS n_docs
+                 FROM llr)
+      SELECT doc_id, n_grams, llr_bits, CAST(rn AS BIGINT) AS rn,
+             CAST(CASE WHEN rn * 4 <= n_docs THEN 1 ELSE 0 END AS INT) AS keep
+      FROM ranked"""
+  }
+  val qTextDsir = QDef(
+    "q_text_dsir",
+    sqlQ(dsirSql("spark")),
+    Some(dsirSql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
     qTextRepetition, qTextNgramFreq, qTextChunks, qTextPack, qTextDecontam,
-    qTextRedact, qTextLmScore, qTextShuffle, qTextDedupLines, qTextTfidf)
+    qTextRedact, qTextLmScore, qTextShuffle, qTextDedupLines, qTextTfidf,
+    qTextDsir)
 }
 
