@@ -783,15 +783,16 @@ object Sim extends QModule {
     (cw, codes, xn)
   }
 
-  /** The one-shot oracle: the full train → encode → probe chain as a
-    * single DuckDB statement (K-init, one Lloyd step, ADC scan) —
-    * identical arithmetic to the memoized Spark path.
+  /** The PQ index-build CTE chain (train K-init + one Lloyd step, encode,
+    * code-derived norms) in DuckDB dialect — shared by the PQ one-shot
+    * oracle and the IVF+PQ composition's oracle so the quantizer
+    * semantics are pinned in exactly one place. Defines sv, cw0, asg1,
+    * mean1, cw, codes, cwn, xn (no `e` — callers bring their own).
     */
-  private val pqTopkDuckSql: String = {
+  private val pqDuckCtes: String = {
     val d = (a: String, b: String) => dot("duck", a, b)
     val d2 = (a: String, b: String) => d2Expr("duck", a, b)
-    s"""
-      WITH sv AS (SELECT vec_id, s.sub,
+    s"""sv AS (SELECT vec_id, s.sub,
                          list_slice(embedding, s.sub * $pqW + 1, s.sub * $pqW + $pqW) AS v
                   FROM embeddings, (SELECT unnest(generate_series(0, ${pqM - 1})) AS sub) s),
       cw0 AS (SELECT vec_id AS w, sub, list_transform(v, x -> CAST(x AS DOUBLE)) AS cv
@@ -817,7 +818,17 @@ object Sim extends QModule {
       cwn AS (SELECT sub, w, ${d("cv", "cv")} AS nn2 FROM cw),
       xn AS (SELECT a.vec_id, ${graft.Exact.dsumSql("n.nn2", 8)} AS an2
              FROM codes a JOIN cwn n ON n.sub = a.sub AND n.w = a.code
-             GROUP BY a.vec_id),
+             GROUP BY a.vec_id)"""
+  }
+
+  /** The one-shot oracle: the full train → encode → probe chain as a
+    * single DuckDB statement (K-init, one Lloyd step, ADC scan) —
+    * identical arithmetic to the memoized Spark path.
+    */
+  private val pqTopkDuckSql: String = {
+    val d = (a: String, b: String) => dot("duck", a, b)
+    s"""
+      WITH $pqDuckCtes,
       e AS (SELECT vec_id, embedding, sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings),
       q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
       tab AS (SELECT q.q_id, c.sub, c.w,
@@ -864,8 +875,98 @@ object Sim extends QModule {
     Some(pqTopkDuckSql),
     bench = true)
 
+  /** IVF+PQ composed ANN (the FAISS IVFPQ shape, Jegou et al. 2011):
+    * the coarse IVF quantizer bounds WHICH vectors are scored (nprobe=2
+    * learned cells per query) and the product quantizer bounds WHAT is
+    * read per candidate (16 codes + one code-derived norm instead of the
+    * float vector) — the two ANN cost axes composed. Scoring is the same
+    * ADC lookup-table sum as [[qSimPqTopk]], restricted to the probed
+    * cells' inverted lists.
+    *
+    * Both indexes come from their SessionCache memos ([[ivfIndex]],
+    * [[pqIndex]]) — ONE build each per (session, sf-dir) serves the IVF
+    * probe, the PQ scan, and this composition; the query-time plan
+    * touches only persisted tables. The oracle replays coarse-train →
+    * assign → PQ-train → encode → probe in one statement from the same
+    * pinned CTE texts ([[ivfListsCtes]], [[pqDuckCtes]]), so the
+    * composition is oracle-bit-exact end to end.
+    *
+    * Scale: candidates/query = nprobe·(n/cells) rows of 10-byte codes —
+    * both knobs (cells, m×K) tune independently; the float corpus is
+    * never read at query time. This is the shape that serves billion-
+    * vector ANN from commodity memory. Recall floor vs the exact kernel
+    * is spec-measured (the fixture's near-random vectors are PQ's worst
+    * case; the IVF restriction composes multiplicatively).
+    */
+  val qSimIvfPqTopk = QDef(
+    "q_sim_ivfpq_topk",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (cent, lists) = ivfIndex(s, d)
+      val (cw, codes, xn) = pqIndex(s, d)
+      val q = lists.where(col("vec_id") < 10).select(
+        col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val probe = q
+        .crossJoin(broadcast(cent))
+        .withColumn("__d2", expr(d2Expr("spark", "qe", "ce")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("__d2"), col("c_label"))))
+        .where(col("__rn") <= 2)
+        .select(col("q_id"), col("c_label").as("cell"))
+      val cand = probe
+        .join(lists.select(col("vec_id").as("n_id"), col("cell")), "cell")
+        .where(col("n_id") =!= col("q_id"))
+        .select("q_id", "n_id")
+      val tab = q.crossJoin(broadcast(cw))
+        .select(col("q_id").as("t_qid"), col("sub").as("t_sub"), col("w"),
+          expr(s"dot_f(slice(qe, sub * $pqW + 1, $pqW), cv)").as("dq"))
+      val a = codes.select(col("vec_id").as("n_id"), col("sub").as("a_sub"), col("code"))
+      val p = cand.join(a, "n_id")
+        .join(tab, col("t_qid") === col("q_id") &&
+          col("a_sub") === col("t_sub") && col("code") === col("w"))
+        .groupBy("q_id", "n_id")
+        .agg(expr(graft.Exact.dsumSql("dq", 8)).as("adot"))
+      p.join(q.select("q_id", "qn"), "q_id")
+        .join(xn.withColumnRenamed("vec_id", "n_id"), "n_id")
+        .withColumn("pq_sim", col("adot") / (col("qn") * sqrt(col("an2"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("pq_sim").desc, col("n_id")))
+          .cast("int"))
+        .where(col("rnk") <= 5)
+        .select("q_id", "n_id", "pq_sim", "rnk")
+    },
+    Some {
+      val d = (a: String, b: String) => dot("duck", a, b)
+      s"""
+      WITH ${ivfListsCtes("duck")},
+      $pqDuckCtes,
+      q AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn FROM e WHERE vec_id < 10),
+      probe AS (SELECT q_id, c_label AS cell FROM (
+                  SELECT dist.vec_id AS q_id, c_label,
+                         row_number() OVER (PARTITION BY dist.vec_id ORDER BY d2, c_label) AS rn
+                  FROM dist WHERE dist.vec_id < 10) p WHERE rn <= 2),
+      cand AS (SELECT p.q_id, l.vec_id AS n_id
+               FROM probe p JOIN lists l ON l.cell = p.cell
+               WHERE l.vec_id <> p.q_id),
+      tab AS (SELECT q.q_id, c.sub, c.w,
+                     ${d(s"list_slice(q.qe, c.sub * $pqW + 1, c.sub * $pqW + $pqW)", "c.cv")} AS dq
+              FROM q CROSS JOIN cw c),
+      pp AS (SELECT t.q_id, a.vec_id AS n_id, ${graft.Exact.dsumSql("t.dq", 8)} AS adot
+             FROM cand cd
+               JOIN codes a ON a.vec_id = cd.n_id
+               JOIN tab t ON t.q_id = cd.q_id AND t.sub = a.sub AND t.w = a.code
+             GROUP BY t.q_id, a.vec_id),
+      scr AS (SELECT pp.q_id, pp.n_id, pp.adot / (q.qn * sqrt(x.an2)) AS pq_sim
+              FROM pp JOIN q ON q.q_id = pp.q_id JOIN xn x ON x.vec_id = pp.n_id),
+      r AS (SELECT q_id, n_id, pq_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY pq_sim DESC, n_id) AS INTEGER) AS rnk
+            FROM scr)
+      SELECT q_id, n_id, pq_sim, rnk FROM r WHERE rnk <= 5"""
+    },
+    bench = true)
+
   val defs: Seq[QDef] = Seq(
     qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf,
     qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimKnnJoin, qSimQuantTopk,
-    qSimPqTopk)
+    qSimPqTopk, qSimIvfPqTopk)
 }

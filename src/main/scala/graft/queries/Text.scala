@@ -510,7 +510,8 @@ object Text extends QModule {
   val qTextDsir = QDef(
     "q_text_dsir",
     sqlQ(dsirSql("spark")),
-    Some(dsirSql("duck")))
+    Some(dsirSql("duck")),
+    bench = true)
 
   val defs: Seq[QDef] = Seq(
     qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
