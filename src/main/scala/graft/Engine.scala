@@ -50,6 +50,15 @@ object Engine {
       // events.parquet carries INT64 TIMESTAMP(NANOS); expose as raw nanos
       // (Tables derives a µs TIMESTAMP view column from it).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The default 100-entry codegen class cache thrashes under this
+      // engine's workload shape (50+ declared queries × ~5-10
+      // WholeStageCodegen units each): once evicted, every re-execution
+      // pays a janino recompile, and concurrent submissions pay it at
+      // partially-serialized compiler throughput — observed as sporadic
+      // 2-4x whole-pass slowdowns in graft.Bench's pipelined pass. Size
+      // the cache to hold the whole query surface; generated classes are
+      // small and the cap still bounds a pathological generator.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   def session(appName: String = "graft"): SparkSession = {
