@@ -259,6 +259,57 @@ object Pipeline extends QModule {
     Some(pipelineEmbedDuckSql),
     bench = true)
 
+  /** The TRAINING-MIX flagship — "assemble the data mix" end to end in
+    * ONE plan over ONE corpus scan: DSIR importance selection (keep the
+    * top quarter by target-domain likelihood ratio — [[Text.dsirCtes]],
+    * the exact chain q_text_dsir pins), then the per-language TOKEN
+    * budget cut in deterministic md5 order (the q_stat_token_budget
+    * decision, applied to the selected docs' own token counts), then a
+    * 16-way md5 shard manifest (docs, tokens, langs per shard) — what a
+    * training-data writer consumes.
+    *
+    * This is the third flagship composition: [[qPipelineClean]] gates on
+    * stored labels, [[qPipelineEmbed]] on learned embedding clusters,
+    * and this one on corpus statistics alone (no labels, no embeddings).
+    *
+    * Scale: the DSIR chain is a single linear pipeline off one corpus
+    * explode (see q_text_dsir's plan audit); the budget cut adds one
+    * lang-keyed exchange over ALREADY-SELECTED doc-grain rows; the shard
+    * aggregate is map-side combinable. Nothing downstream of the explode
+    * ever rereads the corpus — `lang` and token counts ride the chain.
+    */
+  private def pipelineMixSql(dialect: String): String = {
+    val (pos, str) = dialect match {
+      case "spark" => ("instr", "STRING")
+      case _       => ("strpos", "VARCHAR")
+    }
+    s"""
+      WITH ${Text.dsirCtes(dialect)},
+      kept AS (SELECT doc_id, lang, n_grams,
+                      md5(CONCAT('mix:', CAST(doc_id AS $str))) AS mk
+               FROM ranked WHERE rn * 4 <= n_docs),
+      cut AS (SELECT doc_id, lang, n_grams, mk,
+                     CAST(SUM(n_grams) OVER (PARTITION BY lang
+                       ORDER BY mk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              FROM kept),
+      surv AS (SELECT doc_id, lang, n_grams FROM cut
+               WHERE cum <= CASE lang WHEN 'en' THEN 2000 ELSE 800 END)
+      SELECT CAST($pos('0123456789abcdef',
+               substring(md5(CONCAT('mixshard:', CAST(doc_id AS $str))), 1, 1)) - 1 AS INT) AS shard,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_grams) AS BIGINT) AS n_toks,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM surv GROUP BY 1"""
+  }
+
+  val qPipelineMix = QDef(
+    "q_pipeline_mix",
+    sqlQ(pipelineMixSql("spark")),
+    Some(pipelineMixSql("duck")),
+    bench = true)
+
   val defs: Seq[QDef] = Seq(qTpchQ3, qTpchQ5, qTpchQ10, qTpchQ18,
-    qTpcdsQ1, qTpcdsQ27, qTpcdsQ64, qPipelineClean, qPipelineEmbed)
+    qTpcdsQ1, qTpcdsQ27, qTpcdsQ64, qPipelineClean, qPipelineEmbed,
+    qPipelineMix)
 }

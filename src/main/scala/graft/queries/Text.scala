@@ -475,14 +475,19 @@ object Text extends QModule {
     * and the top-k cut would use an approx-quantile threshold instead
     * of a global rank when doc count outgrows one partition's sort.
     */
-  private def dsirSql(dialect: String): String = {
+  /** The DSIR scoring chain as a reusable WITH-body (tf → wf → scored →
+    * totals → llr → ranked, `lang` carried through) — shared by
+    * [[qTextDsir]] and the training-mix flagship
+    * ([[Pipeline.qPipelineMix]]) so the selection semantics are pinned
+    * in exactly one place.
+    */
+  private[queries] def dsirCtes(dialect: String): String = {
     val wordsRel = dialect match {
       case "spark" => "SELECT doc_id, lang, explode(split(lower(text), ' ')) AS w FROM documents"
       case _       => "SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents"
     }
     val lb = (e: String) => s"CAST(FLOOR(LOG2(CAST($e AS DOUBLE))) AS BIGINT)"
-    s"""
-      WITH tf AS (SELECT doc_id, lang, w, COUNT(*) AS c
+    s"""tf AS (SELECT doc_id, lang, w, COUNT(*) AS c
                   FROM ($wordsRel) g WHERE w <> '' GROUP BY doc_id, lang, w),
       wf AS (SELECT doc_id, lang, c,
                     SUM(c) OVER (PARTITION BY w) AS cb,
@@ -492,21 +497,24 @@ object Text extends QModule {
                         CAST(SUM(c) AS BIGINT) AS n_grams,
                         CAST(SUM(c * (${lb("ct + 1")} - ${lb("cb + 1")})) AS BIGINT) AS lb_diff
                  FROM wf GROUP BY doc_id, lang),
-      totals AS (SELECT doc_id, n_grams, lb_diff,
+      totals AS (SELECT doc_id, lang, n_grams, lb_diff,
                         CAST(SUM(n_grams) OVER () AS BIGINT) AS nb,
                         CAST(SUM(CASE WHEN lang = 'en' THEN n_grams ELSE 0 END) OVER () AS BIGINT) AS nt
                  FROM scored),
-      llr AS (SELECT doc_id, n_grams,
+      llr AS (SELECT doc_id, lang, n_grams,
                      CAST(lb_diff AS DOUBLE) / n_grams - (${lb("nt")} - ${lb("nb")}) AS llr_bits
               FROM totals),
-      ranked AS (SELECT doc_id, n_grams, llr_bits,
+      ranked AS (SELECT doc_id, lang, n_grams, llr_bits,
                         ROW_NUMBER() OVER (ORDER BY llr_bits DESC, doc_id) AS rn,
                         COUNT(*) OVER () AS n_docs
-                 FROM llr)
+                 FROM llr)"""
+  }
+
+  private def dsirSql(dialect: String): String = s"""
+      WITH ${dsirCtes(dialect)}
       SELECT doc_id, n_grams, llr_bits, CAST(rn AS BIGINT) AS rn,
              CAST(CASE WHEN rn * 4 <= n_docs THEN 1 ELSE 0 END AS INT) AS keep
       FROM ranked"""
-  }
   val qTextDsir = QDef(
     "q_text_dsir",
     sqlQ(dsirSql("spark")),
