@@ -18,7 +18,7 @@ object SparkEntry {
       qm.Text, qm.Dedup, qm.Sim, qm.Extra, qm.Sql, qm.Dml, qm.Stats,
       qm.Pipeline, qm.Tpch, qm.Tpch2, qm.Tpcds2, qm.Tpcds3, qm.Tpcds4,
       qm.Tpcds5, qm.Tpcds6, qm.Tpcds7, qm.Tpcds8, qm.Tpcds9, qm.Tpcds10,
-      qm.Tpcds11, qm.Tpcds12, qm.Ssb).flatMap(_.defs)
+      qm.Tpcds11, qm.Tpcds12, qm.Tpcds13, qm.Ssb).flatMap(_.defs)
     // `queries`/`oracleSql` are Maps — a repeated name would silently
     // shadow the earlier definition, so fail loudly at class-load.
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

@@ -964,4 +964,25 @@ class OperatorSpec extends SparkSpecBase {
     assert(!s45.contains("CartesianProduct") && !s45.contains("BroadcastNestedLoop"),
       s"Q45 degraded:\n$s45")
   }
+
+  test("TPC-DS batch-13 shapes: dim-attribute inequality rides equi joins, promo ratio joins single rows") {
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    // Q68: s_nationkey <> c_nationkey must be a residual over hash joins
+    // (never a nested-loop theta join), and the top-20 plans TakeOrdered
+    val s68 = plan("q_tpcds_q68")
+    assert(!s68.contains("CartesianProduct") && !s68.contains("BroadcastNestedLoop"),
+      s"Q68 inequality residual degraded a join:\n$s68")
+    assert(s68.contains("NOT (s_nationkey") || s68.contains("s_nationkey#"),
+      s"Q68 lost the cross-nation residual:\n$s68")
+    assert(s68.contains("TakeOrderedAndProject"),
+      s"Q68 top-20 did not plan as TakeOrdered:\n$s68")
+    // Q61: two single-row aggregate branches — the cross join must be a
+    // single-row broadcast nested loop (that's the legal, free shape
+    // here), with TWO lineitem aggregate pipelines
+    val s61 = plan("q_tpcds_q61")
+    val factScans61 = s61.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(factScans61 == 2, s"Q61 expected two branch scans, got $factScans61:\n$s61")
+  }
 }
