@@ -401,4 +401,84 @@ object Streams {
         TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** One sketch entry: `cnt` is an OVERestimate of `item`'s true count in
+    * `shard` (`cnt - err` a lower bound); `n_shard` = items the shard has
+    * processed so far, so a reader can select the final batch's sketch
+    * (max n_shard per shard) and know the error scale (≤ n_shard/capacity).
+    */
+  final case class HeavyOut(shard: Long, item: Long, cnt: Long, err: Long, n_shard: Long)
+
+  private[streaming] final case class SSEntry(cnt: Long, err: Long)
+
+  /** Streaming heavy hitters with BOUNDED state — the SpaceSaving summary
+    * (Metwally et al. 2005, public): per shard, at most `capacity` map
+    * entries regardless of how many distinct items flow; a new item
+    * beyond capacity evicts the current minimum and inherits its count
+    * as its overestimate `err`. Guarantees (both spec-asserted against
+    * exact batch counts): every tracked `cnt` bounds the true count from
+    * above and `cnt - err` from below, and ANY item with true count
+    * > n/capacity is guaranteed tracked.
+    *
+    * This is the capability the unbounded [[UserCatalogProcessor]] map
+    * cannot claim: its state grows with key cardinality, this sketch's
+    * state is a constant — the "trending items over an unbounded key
+    * space" shape. Scale: shards partition the item space (hash), each
+    * shard's sketch is O(capacity); SpaceSaving summaries MERGE (sum
+    * counts, capacity-trim keeping largest — err adds), so a 1000-
+    * executor deployment runs per-shard sketches exactly like this and
+    * a tiny batch-side merge serves the global top-k; per-item cost is
+    * O(capacity) at the spec's toy capacity and O(log capacity) with
+    * the paper's min-heap when capacity is large.
+    */
+  final class HeavyHittersProcessor(capacity: Int)
+      extends StatefulProcessor[Long, Event, HeavyOut] {
+    @transient private var entries: MapState[Long, SSEntry] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      entries = getHandle.getMapState[Long, SSEntry](
+        "ss", Encoders.scalaLong, Encoders.product[SSEntry], TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        shard: Long, rows: Iterator[Event], timers: TimerValues): Iterator[HeavyOut] = {
+      val local = scala.collection.mutable.Map.empty[Long, SSEntry]
+      entries.iterator().foreach { p => local(p._1) = p._2 }
+      var n = if (seen.exists()) seen.get() else 0L
+      // post-shuffle iterator order is not feed order; sort for a
+      // deterministic sketch (same contract as FunnelProcessor)
+      for (e <- rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))) {
+        val item = e.user_id
+        n += 1
+        local.get(item) match {
+          case Some(SSEntry(c, err)) => local(item) = SSEntry(c + 1, err)
+          case None if local.size < capacity => local(item) = SSEntry(1L, 0L)
+          case None =>
+            val (mk, SSEntry(mc, _)) =
+              local.minBy { case (k, SSEntry(c, _)) => (c, k) }
+            local -= mk
+            local(item) = SSEntry(mc + 1, mc)
+        }
+      }
+      entries.clear()
+      local.foreach { case (k, v) => entries.updateValue(k, v) }
+      seen.update(n)
+      local.iterator.map { case (k, SSEntry(c, err)) => HeavyOut(shard, k, c, err, n) }
+    }
+  }
+
+  /** Sharded SpaceSaving heavy hitters over [[HeavyHittersProcessor]]. */
+  def heavyHittersTWS(
+      events: Dataset[Event], shards: Int = 4, capacity: Int = 4): Dataset[HeavyOut] = {
+    implicit val outEnc: org.apache.spark.sql.Encoder[HeavyOut] =
+      Encoders.product[HeavyOut]
+    events
+      .groupByKey(_.user_id % shards)(Encoders.scalaLong)
+      .transformWithState(
+        new HeavyHittersProcessor(capacity),
+        TimeMode.None(),
+        OutputMode.Update())
+  }
 }

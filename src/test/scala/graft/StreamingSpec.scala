@@ -862,6 +862,52 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("SpaceSaving heavy hitters: bounded state, error bounds, hot items guaranteed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, user: Long) =
+      Event(id, new Timestamp(1000L * id), user, "view", 1.0)
+    // every user ≡ 1 (mod 4) → all traffic lands in shard 1; two hot
+    // users dominate while 6 cold users churn through a capacity-4 sketch
+    val users = List.fill(30)(1L) ++ List.fill(20)(5L) ++
+      Seq(9L, 13L, 17L, 21L, 25L, 29L).flatMap(List.fill(2)(_))
+    // deterministic interleave, ids in feed order (the sketch's sort key)
+    val feed = new scala.util.Random(42).shuffle(users)
+      .zipWithIndex.map { case (u, i) => ev(i + 1L, u) }
+    val trueCnt = feed.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    val n = feed.size.toLong
+
+    val input = MemoryStream[Event]
+    val q = Streams.heavyHittersTWS(input.toDS(), shards = 4, capacity = 4)
+      .writeStream.format("memory").queryName("t_heavy")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // three batches — the sketch must persist/evict across state commits
+      feed.grouped((feed.size + 2) / 3).foreach { c =>
+        input.addData(c); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.table("t_heavy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.forall(_._1 == 1L), "all traffic should hit shard 1")
+    // the FINAL sketch = rows from the last batch (max n_shard)
+    val lastN = rows.map(_._5).max
+    assert(lastN == n, s"shard processed $lastN of $n items")
+    val sketch = rows.filter(_._5 == lastN).map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(sketch.size <= 4, s"sketch exceeded capacity: $sketch")
+    // SpaceSaving bounds: cnt overestimates, cnt - err underestimates
+    sketch.foreach { case (item, (cnt, err)) =>
+      val t = trueCnt.getOrElse(item, 0L)
+      assert(cnt >= t, s"item $item: est $cnt < true $t")
+      assert(cnt - err <= t, s"item $item: lower bound ${cnt - err} > true $t")
+    }
+    // any item with true count > n/capacity must be tracked — both hot
+    // users qualify (30, 20 > 62/4)
+    trueCnt.filter(_._2 > n / 4).keys.foreach { hot =>
+      assert(sketch.contains(hot), s"hot item $hot (true ${trueCnt(hot)}) not tracked in $sketch")
+    }
+  }
+
   test("streaming funnel (transformWithState) equals the batch q_ev_funnel stages") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
