@@ -27,9 +27,21 @@ object Tpcds13 extends QModule {
     * per joined row (no plan degradation — asserted: no cartesian); the
     * (order, customer) aggregate is map-side combinable on the fact's
     * natural key; top-20 is TakeOrdered, never a global sort.
+    *
+    * Oracle restructuring (the Tpcds5 precedent): DuckDB's optimizer
+    * treats the cross-dim `<>` WHERE as a join-graph edge and plans
+    * customer×supplier as a NESTED_LOOP theta join — a 15M-pair
+    * intermediate at sf0.1 (measured 19 s; ×10 blew past 300 s and
+    * 50 GB). The oracle states the SAME semantics as conditional
+    * aggregation (qualifying rows feed the sum/count, HAVING keeps
+    * groups with ≥1 qualifying item), which leaves only equi edges in
+    * the join graph. Spark runs the residual-filter form — the planner
+    * path this batch exists to exercise — and the driver hash-compares
+    * the two.
     */
-  private val q68Sql = s"""
-      WITH sale AS (
+  private def q68Sql(residual: Boolean): String = {
+    val core =
+      if (residual) s"""
         SELECT o_orderkey, o_custkey,
                ${Exact.usumSql("l_extendedprice * (1 - l_discount)", 4)} AS amt_u,
                COUNT(*) AS n_items
@@ -37,12 +49,26 @@ object Tpcds13 extends QModule {
                     JOIN supplier ON l_suppkey = s_suppkey
                     JOIN customer ON o_custkey = c_custkey
         WHERE s_nationkey <> c_nationkey
-        GROUP BY o_orderkey, o_custkey)
+        GROUP BY o_orderkey, o_custkey"""
+      else s"""
+        SELECT o_orderkey, o_custkey,
+               ${Exact.usumSql(
+                 "CASE WHEN s_nationkey <> c_nationkey THEN l_extendedprice * (1 - l_discount) END", 4)} AS amt_u,
+               CAST(COUNT(CASE WHEN s_nationkey <> c_nationkey THEN 1 END) AS BIGINT) AS n_items
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN customer ON o_custkey = c_custkey
+        GROUP BY o_orderkey, o_custkey
+        HAVING COUNT(CASE WHEN s_nationkey <> c_nationkey THEN 1 END) > 0"""
+    s"""
+      WITH sale AS ($core)
       SELECT c.c_name, s.o_orderkey,
              CAST(s.amt_u AS DOUBLE) / 1e4 AS amt, s.n_items
       FROM sale s JOIN customer c ON c.c_custkey = s.o_custkey
       ORDER BY amt DESC, o_orderkey LIMIT 20"""
-  val qTpcdsQ68 = QDef("q_tpcds_q68", sqlQ(q68Sql), Some(q68Sql))
+  }
+  val qTpcdsQ68 = QDef("q_tpcds_q68",
+    sqlQ(q68Sql(residual = true)), Some(q68Sql(residual = false)))
 
   /** TPC-DS Q61 shape: promotional revenue as a share of total revenue —
     * TWO independent single-row aggregate branches (the promo-filtered

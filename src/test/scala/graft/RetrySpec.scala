@@ -95,6 +95,15 @@ class RetrySpec extends AnyFunSuite with BeforeAndAfterAll {
       SparkEntry.queries("q_salted_agg"))
   }
 
+  test("q_pipeline_mix: DSIR rank, budget cut, and shard manifest survive a task retry") {
+    // the training-mix flagship IS the "write this exact dataset" op —
+    // its whole value is that selection and sharding are content-pure,
+    // so a mid-pipeline task death must not move a single document
+    // across the keep/cut/shard boundaries
+    assertRetryStable("documents",
+      SparkEntry.queries("q_pipeline_mix"))
+  }
+
   test("injection harness sanity: an unarmed poison passes rows through") {
     val n = Tables.load(spark, sf, "nation")
     assert(n.filter(poison()).count() == n.count())
