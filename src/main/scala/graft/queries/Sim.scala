@@ -965,8 +965,85 @@ object Sim extends QModule {
     },
     bench = true)
 
+  /** Cluster-balanced subsampling — the diversity-preserving cut of a
+    * curation pipeline (the SSL/SemDeDup-family step after dedup: cap
+    * each learned cluster's contribution so dominant modes don't swamp
+    * the mix): at most K vectors per IVF cell, chosen in deterministic
+    * md5 order. The cells come from the SAME memoized index as the ANN
+    * probes and the semantic dedup — train once, every decision step
+    * reuses it.
+    *
+    * Scale: one WindowGroupLimit-able rank per cell partition over
+    * (vec_id, cell) rows — the q_stat_quota shape keyed by a LEARNED
+    * blocking key instead of a stored column; kept rows are ≤ K·cells.
+    */
+  val qSimCellQuota = QDef(
+    "q_sim_cellquota",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (_, lists) = ivfIndex(s, d)
+      lists.select("vec_id", "cell")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cell")
+            .orderBy(expr("md5(CAST(vec_id AS STRING))"), col("vec_id")))
+          .cast("int"))
+        .where(col("rn") <= 10)
+        .select("cell", "vec_id", "rn")
+    },
+    Some(s"""
+      WITH ${ivfListsCtes("duck")}
+      SELECT cell, vec_id, CAST(rn AS INT) AS rn FROM (
+        SELECT l.cell, l.vec_id,
+               row_number() OVER (PARTITION BY l.cell
+                 ORDER BY md5(CAST(l.vec_id AS STRING)), l.vec_id) AS rn
+        FROM lists l) r
+      WHERE rn <= 10"""))
+
+  /** Matryoshka truncate-then-rerank ANN (Kusupati et al. 2022, public):
+    * stage 1 scores the corpus on the FIRST 32 of 64 dimensions
+    * (MRL-style prefix — half the scan bytes), keeps top-20 candidates
+    * per query; stage 2 re-ranks ONLY those candidates with the exact
+    * full-dimension cosine, top-5. The two-stage shape is the point: at
+    * 100 TB the wide vectors are read for ≤ 20·queries rows, everything
+    * corpus-sized touches only the prefix (in a real MRL deployment the
+    * prefix is a separate, denser column). Recall vs the exact kernel is
+    * spec-measured; both stages are ordered folds, so the oracle compare
+    * is bit-exact.
+    */
+  private def mrlTopkSql(dialect: String): String = {
+    val d = (a: String, b: String) => dot(dialect, a, b)
+    val pre = dialect match {
+      case "spark" => "slice(embedding, 1, 32)"
+      case _       => "list_slice(embedding, 1, 32)"
+    }
+    s"""
+      WITH e AS (SELECT vec_id, embedding, $pre AS p32,
+                        sqrt(${d("embedding", "embedding")}) AS nrm,
+                        sqrt(${d(pre, pre)}) AS pnrm
+                 FROM embeddings),
+      q AS (SELECT vec_id AS q_id, embedding AS qe, p32 AS qp, nrm AS qn, pnrm AS qpn
+            FROM e WHERE vec_id < 10),
+      stage1 AS (SELECT q_id, n_id, full_e, full_n FROM (
+                   SELECT q.q_id, e.vec_id AS n_id, e.embedding AS full_e, e.nrm AS full_n,
+                          row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY ${d("q.qp", "e.p32")} / (q.qpn * e.pnrm) DESC, e.vec_id) AS c_rn
+                   FROM q JOIN e ON e.vec_id <> q.q_id) c
+                 WHERE c_rn <= 20),
+      rerank AS (SELECT s.q_id, s.n_id,
+                        ${d("q.qe", "s.full_e")} / (q.qn * s.full_n) AS cos_sim
+                 FROM stage1 s JOIN q ON q.q_id = s.q_id),
+      r AS (SELECT q_id, n_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rnk
+            FROM rerank)
+      SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 5"""
+  }
+  val qSimMrlTopk = QDef(
+    "q_sim_mrl_topk",
+    sqlQ(mrlTopkSql("spark")),
+    Some(mrlTopkSql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf,
     qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimKnnJoin, qSimQuantTopk,
-    qSimPqTopk, qSimIvfPqTopk)
+    qSimPqTopk, qSimIvfPqTopk, qSimCellQuota, qSimMrlTopk)
 }

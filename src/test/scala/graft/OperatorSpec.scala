@@ -258,6 +258,20 @@ class OperatorSpec extends SparkSpecBase {
     assert(agree > 0.3, s"IVF+PQ/PQ overlap $agree — ADC scoring diverged")
   }
 
+  test("Matryoshka truncate-then-rerank: prefix candidates recover most exact neighbors") {
+    val brute = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mrl = SparkEntry.queries("q_sim_mrl_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mrl.nonEmpty, "MRL search produced no neighbors")
+    val recall = (brute & mrl).size.toDouble / brute.size
+    // half the dims of a near-random 64-d vector keep ~sqrt(1/2) of the
+    // cosine signal and the 20-candidate stage-1 buffer absorbs most
+    // rank noise before the exact re-rank — a low number means the
+    // two-stage pipeline broke, not the fixture
+    assert(recall > 0.4, s"MRL recall $recall suspiciously low")
+  }
+
   test("IVF probe plan reads the materialized index, not the parquet fact (r6 perf defect)") {
     // The r6 one-shot SQL silently retrained the quantizer per execution
     // (inlined CTEs, ~10x the oracle). Lock the fix structurally: after
