@@ -235,7 +235,41 @@ object Sql extends QModule {
       HAVING COUNT(*) > 100
       ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Spark 4 string collations (SQL:2016 COLLATE): case-insensitive
+    * GROUPING and COMPARISON through the type system rather than
+    * `lower()` rewrites — the collated value groups 'Alpha'/'ALPHA'/
+    * 'alpha' as one key and `= 'ALPHA'` matches all three. The grouped
+    * key's surface form is whichever variant the engine keeps, so the
+    * PROJECTED key is `MIN(lower(name))` (deterministic in both
+    * engines); DuckDB spells the same collation NOCASE. Engine-relevant
+    * because a 100 TB text corpus dedups/joins on collated keys without
+    * materializing normalized copies of every string column.
+    */
+  private def collateSql(dialect: String): String = {
+    val (rel, key, cmp) = dialect match {
+      case "spark" => (
+        "SELECT name COLLATE UTF8_LCASE AS cname, name FROM " +
+          "VALUES ('Alpha'), ('ALPHA'), ('alpha'), ('Beta'), ('beta'), ('Gamma') AS t(name)",
+        "cname",
+        "cname = 'ALPHA'")
+      case _ => (
+        "SELECT name AS cname, name FROM (VALUES ('Alpha'), ('ALPHA'), ('alpha'), ('Beta'), ('beta'), ('Gamma')) t(name)",
+        "cname COLLATE NOCASE",
+        "cname COLLATE NOCASE = 'ALPHA'")
+    }
+    s"""
+      SELECT MIN(lower(name)) AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN $cmp THEN 1 ELSE 0 END) AS BIGINT) AS eq_alpha
+      FROM ($rel) c
+      GROUP BY $key"""
+  }
+  val qSqlCollate = QDef(
+    "q_sql_collate",
+    sqlQ(collateSql("spark")),
+    Some(collateSql("duck")))
+
   val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
     qSqlNestedSet, qSqlLateral, qSqlNatural, qSqlGroupAll, qSqlLateralAlias,
-    qSqlVariant, qSqlRecursive, qSqlPivot, qSqlUnpivot, qSqlUdf, qSqlPipe)
+    qSqlVariant, qSqlRecursive, qSqlPivot, qSqlUnpivot, qSqlUdf, qSqlPipe,
+    qSqlCollate)
 }
