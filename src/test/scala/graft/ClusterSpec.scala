@@ -139,6 +139,26 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r == 3L * (999L * 1000L / 2) + 8L * 1000L)
   }
 
+  test("the training-mix flagship is partition-invariant across executor processes") {
+    // q_pipeline_mix's whole claim is that DSIR selection, the token-
+    // budget cut, and the shard manifest are pure functions of content —
+    // local[N] proves it against thread-level merge order, THIS proves it
+    // when partials really serialize between separate executor JVMs and
+    // the shuffle width changes underneath the plan.
+    val sfDir = "/root/testdata/sf0.001"
+    def run(parts: Int): Seq[String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      SparkEntry.queries("q_pipeline_mix")(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val wide = run(8)
+    val narrow = run(3)
+    assert(wide.nonEmpty, "mix flagship produced no shards")
+    assert(wide == narrow,
+      "mix flagship diverged across shuffle widths in local-cluster mode")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+  }
+
   test("a task that dies in one executor process is retried; result unaffected") {
     // RetrySpec proves retry DETERMINISM in-process (local[4,2] + shared
     // poison state); this proves the RETRY itself across real process
