@@ -357,8 +357,38 @@ object Stats extends QModule {
     sqlQ(tokenBudgetSql("spark")),
     Some(tokenBudgetSql("duck")))
 
+  /** Column-profiling pass (the deequ/data-quality primitive a pipeline
+    * runs before trusting a new drop): per column — row count, null
+    * count, exact distinct count, lexical min/max (stringified so one
+    * schema profiles every type). ONE scan computes every profile: the
+    * wide aggregate row unpivots into per-column rows, and the multiple
+    * COUNT(DISTINCT) legs exercise Catalyst's multi-distinct Expand
+    * rewrite. At 100 TB the same shape swaps exact distinct for the
+    * approx_count_distinct / HLL-sketch twins (q_agg_approx,
+    * q_agg_hllsketch) — the plan is otherwise identical.
+    */
+  private val profileSql: String = {
+    val cols = Seq("l_quantity", "l_discount", "l_returnflag", "l_shipdate")
+    val aggs = cols.map { c =>
+      s"""COUNT($c) AS nn_$c, CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd_$c,
+          CAST(MIN(CAST($c AS STRING)) AS STRING) AS min_$c,
+          CAST(MAX(CAST($c AS STRING)) AS STRING) AS max_$c"""
+    }.mkString(",\n")
+    val rows = cols.map { c =>
+      s"""SELECT '$c' AS col, n, n - nn_$c AS n_null, nd_$c AS n_distinct,
+                 min_$c AS min_s, max_$c AS max_s FROM a"""
+    }.mkString("\nUNION ALL ")
+    s"""
+      WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $aggs FROM lineitem)
+      $rows"""
+  }
+  val qStatProfile = QDef(
+    "q_stat_profile",
+    sqlQ(profileSql),
+    Some(profileSql))
+
   val defs: Seq[QDef] = Seq(
     qStatCrosstab, qStatCovCorr, qStatBuiltin, qStatApproxQuantile, qStatSampleBy,
     qStatMixture, qStatSplit, qStatRegr, qStatRegrBuiltin, qStatQuota,
-    qStatTokenBudget)
+    qStatTokenBudget, qStatProfile)
 }
