@@ -102,6 +102,24 @@ object StreamBench {
           (col("value") % 100 / 10.0).as("value"))
           .as[graft.streaming.Streams.Event]
         graft.streaming.Streams.funnelTWS(events).toDF()
+      case "heavy" =>
+        // bounded-state sketch path: SpaceSaving heavy hitters — 80% of
+        // traffic concentrates on 16 hot items, 20% is unique cold churn
+        // that exercises min-eviction; state per shard is a CONSTANT
+        // 16-entry MapState + one counter regardless of the key space,
+        // so this measures the sketch's per-row cost, not state growth.
+        import org.apache.spark.sql.Encoders
+        implicit val evEnc: org.apache.spark.sql.Encoder[graft.streaming.Streams.Event] =
+          Encoders.product[graft.streaming.Streams.Event]
+        val events = src.select(
+          col("value").as("event_id"),
+          col("event_time").cast("timestamp").as("ts"),
+          when(pmod(col("value"), lit(10)) < 8, pmod(col("value"), lit(16)))
+            .otherwise(col("value")).cast("long").as("user_id"),
+          lit("view").as("event_type"),
+          lit(1.0).as("value"))
+          .as[graft.streaming.Streams.Event]
+        graft.streaming.Streams.heavyHittersTWS(events, shards = 8, capacity = 16).toDF()
       case "join" =>
         // stream-stream inner join (the remaining stateful operator family
         // the bench didn't cover): two INDEPENDENT rate sources emitting
@@ -138,7 +156,7 @@ object StreamBench {
       .format("noop")
       .outputMode(graph match {
         case "stateless" | "tws" | "join" => "append"
-        case _ => "update"
+        case _ => "update" // dedupAgg, heavy
       })
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime(0L))
@@ -194,7 +212,8 @@ object StreamBench {
       ("stateful_rocksdb", "dedupAgg", rocks),
       ("stateful_hdfs", "dedupAgg", hdfs),
       ("stateful_tws", "tws", rocks),
-      ("stateful_join", "join", rocks))
+      ("stateful_join", "join", rocks),
+      ("stateful_heavy", "heavy", rocks))
     val results = configs.map { case (name, graph, provider) =>
       val (thru, p50, p95, n, rows) =
         run(spark, name, graph, provider, rowsPerBatch, batches, warmup)
