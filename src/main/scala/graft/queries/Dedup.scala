@@ -530,8 +530,10 @@ object Dedup extends QModule {
     * Scale: the eval side is tiny (benchmarks are), so its whole chain is
     * a broadcast; the corpus side reuses the SAME persisted signature
     * table as q_dedup_minhash/jaccard (one build per session); the
-    * verify join touches only candidates' shingles. The corpus is never
-    * self-joined and never re-shingled for this query.
+    * Jaccard verify re-shingles ONLY the band-join candidates (the
+    * candidate doc-id set is broadcast-semi-joined against `documents`
+    * BEFORE the shingle explode), so the corpus is never self-joined and
+    * never fully re-shingled for this query.
     */
   private val evalPerturbSpark =
     "concat_ws(' ', slice(split(text, ' '), 2, size(split(text, ' ')) - 1))"
@@ -569,7 +571,16 @@ object Dedup extends QModule {
       val cand = corpusBands.join(broadcast(ebands),
           col("band") === col("e_band") && col("bucket") === col("e_bucket"))
         .select(col("eval_id"), col("doc_id")).distinct()
-      val sdist = shingles(s, d).distinct()
+      // Candidate pruning BEFORE the corpus-side shingle explode: the
+      // shingle counts (sz) and shingle sets (sb) below only ever feed
+      // inner joins against `cand`, so restricting `documents` to the
+      // candidate doc_ids first (tiny set -> broadcast semi join under
+      // the Generate) makes the verify stage O(candidates), not a second
+      // full corpus pass.
+      val candDocs = cand.select(col("doc_id")).distinct()
+      val sdist = shinglesOf(
+        t(s, d, "documents").join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      ).distinct()
       val edist = esh.distinct()
       val ez = edist.groupBy("doc_id").agg(count(lit(1)).as("ensh"))
         .select(col("doc_id").as("ez_id"), col("ensh"))

@@ -151,12 +151,17 @@ class ClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       SparkEntry.queries("q_pipeline_mix")(spark, sfDir)
         .collect().map(_.toString).sorted.toSeq
     }
-    val wide = run(8)
-    val narrow = run(3)
-    assert(wide.nonEmpty, "mix flagship produced no shards")
-    assert(wide == narrow,
-      "mix flagship diverged across shuffle widths in local-cluster mode")
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val wide = run(8)
+      val narrow = run(3)
+      assert(wide.nonEmpty, "mix flagship produced no shards")
+      assert(wide == narrow,
+        "mix flagship diverged across shuffle widths in local-cluster mode")
+    } finally {
+      // restore even on assertion failure — the session is shared and a
+      // leaked 3-partition conf would skew every later test in the suite
+      spark.conf.set("spark.sql.shuffle.partitions", 8)
+    }
   }
 
   test("a task that dies in one executor process is retried; result unaffected") {

@@ -987,8 +987,14 @@ class OperatorSpec extends SparkSpecBase {
     val s68 = plan("q_tpcds_q68")
     assert(!s68.contains("CartesianProduct") && !s68.contains("BroadcastNestedLoop"),
       s"Q68 inequality residual degraded a join:\n$s68")
-    assert(s68.contains("NOT (s_nationkey") || s68.contains("s_nationkey#"),
-      s"Q68 lost the cross-nation residual:\n$s68")
+    // The residual must survive as an actual negated equality between the
+    // two nationkey attributes — matching the predicate FORM, because any
+    // plan that merely scans supplier prints `s_nationkey#N` in its output
+    // attributes and a name-only check would pass vacuously.
+    val crossNationResidual =
+      """NOT \(\s*[sc]_nationkey#\d+L? = [sc]_nationkey#\d+L?\)""".r
+    assert(crossNationResidual.findFirstIn(s68).isDefined,
+      s"Q68 lost the cross-nation residual predicate:\n$s68")
     assert(s68.contains("TakeOrderedAndProject"),
       s"Q68 top-20 did not plan as TakeOrdered:\n$s68")
     // Q61: two single-row aggregate branches — the cross join must be a
