@@ -38,11 +38,32 @@ object Bench {
         |  </pool>
         |</allocations>
         |""".stripMargin)
-    val spark = Engine
-      .builder("graft-bench", s"local[$cpus]", cpus.toInt)
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,8192] runs the same bench
+    // across real executor processes (ClusterSpec proves correctness
+    // there; this measures the cross-process serialization premium the
+    // ×10 notes attribute structurally). Needs SPARK_SCALA_VERSION=2.13
+    // in the env, like ClusterSpec.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = Engine
+      .builder("graft-bench", master, cpus.toInt)
       .config("spark.scheduler.mode", schedMode)
       .config("spark.scheduler.allocation.file", poolFile.toString)
+    val spark = (if (!master.startsWith("local-cluster")) builder0
+      else builder0
+        .config("spark.driver.host", "localhost")
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "4g"))
+        .config("spark.executor.extraClassPath",
+          System.getProperty("java.class.path")))
       .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // block until every executor registered — or the first timed round
+      // lands entirely on whichever executor came up first
+      val want = master.stripPrefix("local-cluster[").takeWhile(_ != ',').trim.toInt
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.sparkContext.getExecutorMemoryStatus.size < want + 1 &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+    }
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: session/codegen/FS-cache spin-up is fixed overhead
     // that at 100 TB amortizes to zero; excluding it reports steady-state
@@ -64,11 +85,17 @@ object Bench {
     val names = benchSet.map(_.name)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Per-query progress to stderr: at large SF a single degenerate plan
+    // can grind for many minutes, and without attribution the only
+    // diagnosis path is jstack archaeology (learned at ×100).
+    val progress = sys.env.get("SPARK_GRAFT_PROGRESS").contains("1")
     for (r <- 1 to rounds; q <- benchSet) {
       val t0 = System.nanoTime()
       try {
+        if (progress) System.err.println(s"[bench] r$r ${q.name} ...")
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        if (progress) System.err.println(f"[bench] r$r ${q.name} done ${dt}%.2f s")
         times(q.name) = dt :: times.getOrElse(q.name, Nil)
       } catch { case e: Throwable =>
         failed += q.name
@@ -110,6 +137,59 @@ object Bench {
       if (canarySteady.size >= 2 && canarySteady.min > 0)
         canarySteady.max / canarySteady.min
       else 1.0
+    // Scale observability (SPARK_GRAFT_SCALE_REPORT=1): a dedicated pass
+    // AFTER the timing rounds that attributes executor spill bytes and
+    // AQE decisions (skew-join split, partition coalesce) to each query.
+    // This exists for the ×100 synthetic fixture runs — SpillSpec proves
+    // the mechanisms WORK under forced tiny memory; this records where
+    // they engage UNFORCED at scale. It runs outside the timed rounds so
+    // the measured medians stay byte-identical with or without it.
+    val scaleJson: String = if (!sys.env.get("SPARK_GRAFT_SCALE_REPORT").contains("1")) "" else {
+      val spillMem = new java.util.concurrent.atomic.AtomicLong()
+      val spillDisk = new java.util.concurrent.atomic.AtomicLong()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          plans.add(qe.executedPlan.toString)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+      val entries = benchSet.filterNot(q => failed(q.name)).map { q =>
+        plans.clear()
+        val m0 = spillMem.get(); val d0 = spillDisk.get()
+        try {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] scale pass ${q.name}: ${e.getMessage}")
+        }
+        // listener delivery is async — drain before snapshotting
+        val deadline = System.nanoTime() + 3000000000L
+        while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+        Thread.sleep(200)
+        val planText = {
+          import scala.jdk.CollectionConverters._
+          plans.asScala.mkString("\n")
+        }
+        val skew = planText.contains("skew=true") || planText.contains("skewed")
+        val coalesced = planText.contains("coalesced")
+        val sMb = (spillMem.get() - m0) / 1e6
+        val dMb = (spillDisk.get() - d0) / 1e6
+        if (skew || dMb > 0)
+          System.err.println(f"[bench] scale ${q.name}: spill_mem=${sMb}%.0fMB spill_disk=${dMb}%.0fMB skew=$skew")
+        s""""${q.name}":{"spill_mem_mb":${fmt(sMb)},"spill_disk_mb":${fmt(dMb)},"aqe_skew":$skew,"aqe_coalesced":$coalesced}"""
+      }
+      s""","scale":${entries.mkString("{", ",", "}")}"""
+    }
     // Build-vs-steady split: round 1 pays any SessionCache index build
     // (IVF/PQ centroids, MinHash band tables, cached scans) that rounds
     // 2..n amortize — a legitimately amortized cost at 100 TB, but mixing
@@ -207,7 +287,10 @@ object Bench {
     // report every pass with its canary so a reader can adjudicate from
     // the artifact instead of a re-run.
     val seqCanaryFloor =
-      if (canarySteady.nonEmpty) canarySteady.min else Double.MaxValue
+      if (canarySteady.nonEmpty) canarySteady.min else -1.0
+    // No canary in the set (SPARK_GRAFT_ONLY subsets) -> nothing to
+    // adjudicate against; accept the first completed pass.
+    val haveCanary = benchSet.exists(_.name == canaryName) && seqCanaryFloor > 0
     def canaryProbe(): Double = {
       val canaryQ = benchSet.find(_.name == canaryName)
       canaryQ.map { q =>
@@ -223,9 +306,10 @@ object Bench {
     var adjudicated = false
     while (!adjudicated && passes.size < maxPasses) {
       val passTotal = pipelinedPass()
-      val canary = canaryProbe()
+      val canary = if (haveCanary) canaryProbe() else -1.0
       passes += ((passTotal, canary))
-      adjudicated = passTotal >= 0 && canary >= 0 && canary <= 1.3 * seqCanaryFloor
+      adjudicated = passTotal >= 0 &&
+        (!haveCanary || (canary >= 0 && canary <= 1.3 * seqCanaryFloor))
       if (!adjudicated && passes.size < maxPasses)
         System.err.println(f"[bench] pipelined pass ${passes.size} noisy " +
           f"(canary $canary%.2f s vs seq floor $seqCanaryFloor%.2f s) — retrying")
@@ -234,7 +318,9 @@ object Bench {
     // Adjudicated headline: the quietest pass's total (min canary), falling
     // back to the best total if every pass failed its canary read.
     val pipelinedBestQuiet =
-      if (okPasses.nonEmpty) okPasses.minBy(p => (p._2, p._1))._1 else -1.0
+      if (okPasses.isEmpty) -1.0
+      else if (haveCanary) okPasses.minBy(p => (p._2, p._1))._1
+      else okPasses.map(_._1).min
     val pipelinedTotal = pipelinedBestQuiet
     val passesJson = passes.map { case (tt, c) =>
       s"""{"total":${fmt(tt)},"canary":${fmt(c)}}"""
@@ -246,7 +332,7 @@ object Bench {
     val commonTail =
       s""""failed":$failedJson,"rounds":$rounds,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"pipelined_total":${fmt(pipelinedTotal)},"pipelined_best_quiet":${fmt(pipelinedBestQuiet)},"pipelined_passes":$passesJson,"value_steady":${fmt(valueSteady)},"build_total":${fmt(buildTotal)},"sched_mode":"$schedMode","pipe_threads":$pipeThreads,"sf":"$sfDir""""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_steady":${qmap(perQuerySteady)},"queries_r1":${qmap(perQueryR1)},"build_s":${qmap(buildS)},"rounds_raw":$raw,$commonTail}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_steady":${qmap(perQuerySteady)},"queries_r1":${qmap(perQueryR1)},"build_s":${qmap(buildS)},"rounds_raw":$raw,$commonTail$scaleJson}"""
     // Persist the FULL artifact unconditionally: (a) a stable in-repo path
     // (gitignored) the judge can always read, (b) the driver-designated
     // path. The driver's stdout capture has truncated the long line

@@ -69,8 +69,10 @@ object StreamBench {
     */
   private def run(
       spark: SparkSession, name: String, graph: String, provider: String,
-      rowsPerBatch: Int, batches: Int, warmup: Int): (Double, Long, Long, Int, Long) = {
+      rowsPerBatch: Int, batches: Int, warmup: Int,
+      extraConfs: Map[String, String] = Map.empty): (Double, Long, Long, Int, Long) = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    extraConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sb-$name").toString
     def mkSrc = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch.toString)
@@ -138,6 +140,40 @@ object StreamBench {
           """ad_id = click_id AND
              clk_time >= imp_time - INTERVAL 5 SECONDS AND
              clk_time <= imp_time + INTERVAL 5 SECONDS"""))
+      case "largeAgg" =>
+        // LARGE-state aggregation: `value` is monotone UNIQUE, so every
+        // row inserts a brand-new state key — after B batches the store
+        // holds B×rowsPerBatch live entries (tens of millions at the
+        // large-state settings), never evicted (update mode, no window).
+        // This is the workload RocksDB is the default FOR: the on-heap
+        // HDFS store must hold (and snapshot) every entry in the JVM
+        // heap, RocksDB keeps them off-heap with incremental
+        // checkpoints. The toy-state configs above measure per-batch
+        // overhead; this measures state-capacity scaling.
+        src.groupBy(col("value").as("k"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      case "chained" =>
+        // MULTI-stateful-operator graph: stream-stream interval join
+        // feeding a watermarked tumbling-window aggregation in ONE query
+        // (two stateful operators, one state checkpoint). Spark 3.4+
+        // tracks a per-operator watermark (the agg's input watermark is
+        // the join's OUTPUT watermark, delayed by the join's interval
+        // bound), which is exactly the subtlety StreamingSpec pins for
+        // correctness; this config prices it. Append mode — the agg
+        // emits a window only once the propagated watermark passes it.
+        val imp = mkSrc.select(
+            col("event_time").as("imp_time"), col("value").as("ad_id"))
+          .withWatermark("imp_time", "10 seconds")
+        val clk = mkSrc.select(
+            col("event_time").as("clk_time"), col("value").as("click_id"))
+          .withWatermark("clk_time", "10 seconds")
+        imp.join(clk, expr(
+            """ad_id = click_id AND
+               clk_time >= imp_time - INTERVAL 5 SECONDS AND
+               clk_time <= imp_time + INTERVAL 5 SECONDS"""))
+          .groupBy(window(col("imp_time"), "5 seconds"),
+            pmod(col("ad_id"), lit(100)).as("agg_key"))
+          .agg(count(lit(1)).as("n"))
       case _ =>
         src
           // two bit-identical copies of every row = real dedup work
@@ -155,8 +191,8 @@ object StreamBench {
     val q = df.writeStream
       .format("noop")
       .outputMode(graph match {
-        case "stateless" | "tws" | "join" => "append"
-        case _ => "update" // dedupAgg, heavy
+        case "stateless" | "tws" | "join" | "chained" => "append"
+        case _ => "update" // dedupAgg, heavy, largeAgg
       })
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime(0L))
@@ -207,16 +243,35 @@ object StreamBench {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     val hdfs =
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
-    val configs = Seq(
-      ("stateless", "stateless", rocks),
-      ("stateful_rocksdb", "dedupAgg", rocks),
-      ("stateful_hdfs", "dedupAgg", hdfs),
-      ("stateful_tws", "tws", rocks),
-      ("stateful_join", "join", rocks),
-      ("stateful_heavy", "heavy", rocks))
-    val results = configs.map { case (name, graph, provider) =>
+    val changelog = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val baseConfigs = Seq(
+      ("stateless", "stateless", rocks, Map.empty[String, String]),
+      ("stateful_rocksdb", "dedupAgg", rocks, Map.empty[String, String]),
+      ("stateful_hdfs", "dedupAgg", hdfs, Map.empty[String, String]),
+      ("stateful_tws", "tws", rocks, Map.empty[String, String]),
+      ("stateful_join", "join", rocks, Map.empty[String, String]),
+      ("stateful_heavy", "heavy", rocks, Map.empty[String, String]),
+      ("stateful_chained", "chained", rocks, Map.empty[String, String]))
+    // Large-state sweep (SPARK_GRAFT_STREAM_LARGE=1): every row inserts a
+    // new state key, so state reaches batches×rowsPerBatch live entries —
+    // run it with SPARK_GRAFT_STREAM_ROWS=1000000 SPARK_GRAFT_STREAM_BATCHES=30
+    // for the ~30 M-key crossover measurement RocksDB is the default FOR.
+    // Changelog checkpointing is the RocksDB production knob (commit
+    // uploads the delta, snapshots go async) — measured on AND off.
+    val largeConfigs =
+      if (!sys.env.get("SPARK_GRAFT_STREAM_LARGE").contains("1")) Seq.empty
+      else Seq(
+        ("large_state_rocksdb", "largeAgg", rocks, Map(changelog -> "false")),
+        ("large_state_rocksdb_changelog", "largeAgg", rocks, Map(changelog -> "true")),
+        ("large_state_hdfs", "largeAgg", hdfs, Map.empty[String, String]))
+    // Focus knob: SPARK_GRAFT_STREAM_ONLY=name,name runs a subset.
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val configs = (baseConfigs ++ largeConfigs)
+      .filter(c => only.forall(_.contains(c._1)))
+    val results = configs.map { case (name, graph, provider, extra) =>
       val (thru, p50, p95, n, rows) =
-        run(spark, name, graph, provider, rowsPerBatch, batches, warmup)
+        run(spark, name, graph, provider, rowsPerBatch, batches, warmup, extra)
       System.err.println(
         f"[streambench] $name%-17s $thru%12.0f rows/s  p50 $p50%4d ms  p95 $p95%4d ms  ($n batches, $rows rows)")
       name -> (thru, p50, p95, n, rows)

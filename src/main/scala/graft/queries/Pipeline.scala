@@ -211,12 +211,12 @@ object Pipeline extends QModule {
     * cluster size, same contract [[graft.RetrySpec]] proves by injection.
     */
   private val pipelineEmbedDuckSql: String = s"""
-      WITH ${Sim.ivfListsCtes("duck")},
+      WITH ${Sim.fineListsCtes("duck")},
       rem AS (SELECT DISTINCT b.vec_id
-              FROM lists a JOIN lists b
+              FROM fine a JOIN fine b
                 ON a.cell = b.cell AND a.vec_id < b.vec_id
               WHERE ${Sim.dot("duck", "a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= CAST(0.4 AS DOUBLE)),
-      kept AS (SELECT l.vec_id FROM lists l LEFT JOIN rem r ON r.vec_id = l.vec_id
+      kept AS (SELECT l.vec_id FROM fine l LEFT JOIN rem r ON r.vec_id = l.vec_id
                WHERE r.vec_id IS NULL),
       surv AS (SELECT d.doc_id, d.lang, d.n_chars
                FROM documents d JOIN kept k ON k.vec_id = d.doc_id
@@ -232,7 +232,10 @@ object Pipeline extends QModule {
     "q_pipeline_embed",
     (s, d) => {
       import org.apache.spark.sql.functions._
-      val (_, lists) = Sim.ivfIndex(s, d)
+      // fine grid cells (Sim.fineIndex), not the label-count coarse cells:
+      // the SemDeDup pair join is Σ cell², linear only if cell size is
+      // capped — the coarse form degenerated to n² at the ×100 fixture
+      val lists = Sim.fineIndex(s, d)
       val a = lists.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
         col("nrm").as("an"), col("cell"))
       val b = lists.select(col("vec_id").as("b_id"), col("embedding").as("be"),

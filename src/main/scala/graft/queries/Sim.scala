@@ -399,6 +399,73 @@ object Sim extends QModule {
     (cent, lists)
   }
 
+  /** Fine-grained grid-IVF cells for CORPUS-WIDE consumers (k-NN join,
+    * SemDeDup, the embed flagship). The label-trained coarse cells above
+    * are fine for POINT queries (cost = queries · nprobe · list), but any
+    * all-corpus consumer pays Σ cellᵢ² or n · list — and with a FIXED
+    * cell count the list length grows linearly in n, so the pair space
+    * grows as n²/cells. Measured at the ×100 fixture: 200 k vectors /
+    * 10 label cells = 8·10⁹ candidate pairs, one task sort-spilling for
+    * 25+ minutes. The scale-correct index holds the LIST length constant
+    * and lets the CELL COUNT grow with n.
+    *
+    * Construction (deterministic, dialect-mirrored, no iterative
+    * training): within each stored label, rank vectors along their first
+    * coordinate (ties by vec_id) and cut the ranking into
+    * `m = ceil(cnt / $FineTarget)` equal buckets — a 1-D grid quantizer
+    * per label, cells ∝ n with ≤ $FineTarget vectors each. Neighbor
+    * probing exploits the grid structure: a query's candidates are its
+    * own bucket plus the two ADJACENT buckets (the cells nearest along
+    * the quantization axis), so probe selection is O(1) per query — no
+    * query-to-centroid distance pass, which at adaptive cell counts
+    * would itself cost n · cells.
+    *
+    * All arithmetic is integer (row_number, count, integer division), so
+    * the bucket assignment is bit-identical across engines by
+    * construction.
+    */
+  private[queries] val FineTarget = 128
+
+  private[queries] def fineListsSql(dialect: String): String = {
+    val e0 = dialect match {
+      case "spark" => "element_at(embedding, 1)"
+      case _       => "embedding[1]"
+    }
+    val idiv = dialect match {
+      case "spark" => "div"
+      case _       => "//"
+    }
+    val d = (a: String, b: String) => dot(dialect, a, b)
+    s"""SELECT vec_id, embedding, nrm, label, bucket,
+              CAST(label AS BIGINT) * 100000 + bucket AS cell
+       FROM (SELECT vec_id, embedding, nrm, label,
+                    CAST(((rn - 1) * ((cnt + ${FineTarget - 1}) $idiv $FineTarget)) $idiv cnt AS BIGINT) AS bucket
+             FROM (SELECT vec_id, embedding, label,
+                          sqrt(${d("embedding", "embedding")}) AS nrm,
+                          CAST(row_number() OVER (PARTITION BY label ORDER BY $e0, vec_id) AS BIGINT) AS rn,
+                          CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cnt
+                   FROM embeddings) ranked) bucketed"""
+  }
+
+  /** The one-shot `fine` CTE for oracles — the exact index
+    * reconstruction [[fineIndex]] memoizes, pinned in one place like
+    * [[ivfListsCtes]].
+    */
+  private[queries] def fineListsCtes(dialect: String): String =
+    s"""fine AS (${fineListsSql(dialect)})"""
+
+  private[queries] def fineIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val lists = graft.SessionCache.memo(s, s"sim_fine_lists:$d") {
+      graft.Tables.register(s, d)
+      s.sql(fineListsSql("spark")).persist()
+    }
+    graft.SessionCache.memo(s, s"sim_fine_built:$d") {
+      lists.count(); lists.limit(0)
+    }
+    lists
+  }
+
   val qSimIvfTopk = QDef(
     "q_sim_ivf_topk",
     (s, d) => {
@@ -436,13 +503,17 @@ object Sim extends QModule {
     bench = true)
 
   /** Corpus-wide k-NN JOIN: every vector's top-3 neighbors through the
-    * same memoized IVF index (nprobe = 2) — the candidate-generation
+    * memoized FINE grid index ([[fineIndex]]) — the candidate-generation
     * shape of embedding curation (each doc gets its nearest neighbors,
     * e.g. to propagate labels or pick diverse anchors), where
-    * [[qSimIvfTopk]] answers point queries. Scale: the probe side is now
-    * the WHOLE corpus, so the plan's cost is n · nprobe · (n/cells)
-    * candidate pairs — the cells knob bounds it exactly as in
-    * [[qDedupSemantic]]; everything joins on `cell`, nothing all-pairs.
+    * [[qSimIvfTopk]] answers point queries through the coarse cells.
+    * Each query probes its own grid bucket plus the two adjacent ones
+    * (an O(1) structural probe — no centroid distance pass), so the
+    * candidate pair count is n · 3 · $FineTarget — LINEAR in n, where
+    * the coarse-cell form was n²·nprobe/cells (measured ×100: 8·10⁹
+    * pairs, a 25-minute single-task sort-spill; this form: ~77 M). The
+    * probe explode is an equi-join on (label, bucket) — shuffle-
+    * friendly, never all-pairs, the same bucketization as q_join_range.
     * The oracle replicates the probe logic, so the compare verifies the
     * approximate computation bit-exactly (not recall — that is measured
     * against brute force in the spec for the point-query twin).
@@ -451,19 +522,14 @@ object Sim extends QModule {
     "q_sim_knn_join",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val (cent, lists) = ivfIndex(s, d)
+      val lists = fineIndex(s, d)
       val q = lists.select(
-        col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val probe = q
-        .crossJoin(broadcast(cent))
-        .withColumn("__d2", expr(d2Expr("spark", "qe", "ce")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("__d2"), col("c_label"))))
-        .where(col("__rn") <= 2)
-        .select(col("q_id"), col("c_label").as("cell"))
-      val l = lists.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
-        col("nrm").as("nn"), col("cell"))
-      q.join(probe, "q_id").join(l, "cell")
+          col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+          col("label").as("q_label"), col("bucket").as("qb"))
+        .withColumn("jb", explode(array(col("qb") - 1, col("qb"), col("qb") + 1)))
+      val n = lists.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+        col("nrm").as("nn"), col("label").as("n_label"), col("bucket").as("nb"))
+      q.join(n, col("q_label") === col("n_label") && col("jb") === col("nb"))
         .where(col("n_id") =!= col("q_id"))
         .withColumn("cos_sim", expr(dot("spark", "qe", "ne")) / (col("qn") * col("nn")))
         .withColumn("rnk", row_number().over(
@@ -472,7 +538,22 @@ object Sim extends QModule {
         .where(col("rnk") <= 3)
         .select("q_id", "n_id", "cos_sim", "rnk")
     },
-    Some(ivfTopkSql("duck", qFilter = "", k = 3)),
+    Some {
+      val d = (a: String, b: String) => dot("duck", a, b)
+      s"""
+      WITH ${fineListsCtes("duck")},
+      qx AS (SELECT vec_id AS q_id, embedding AS qe, nrm AS qn, label AS q_label,
+                    unnest([bucket - 1, bucket, bucket + 1]) AS jb
+             FROM fine),
+      cand AS (SELECT qx.q_id, n.vec_id AS n_id,
+                      ${d("qx.qe", "n.embedding")} / (qx.qn * n.nrm) AS cos_sim
+               FROM qx JOIN fine n
+                 ON n.label = qx.q_label AND n.bucket = qx.jb AND n.vec_id <> qx.q_id),
+      r AS (SELECT q_id, n_id, cos_sim,
+                   CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rnk
+            FROM cand)
+      SELECT q_id, n_id, cos_sim, rnk FROM r WHERE rnk <= 3"""
+    },
     bench = true)
 
   /** One full Lloyd (k-means) iteration: assign every vector to its
@@ -528,17 +609,19 @@ object Sim extends QModule {
     * shape that works when no labels exist, which is the 100 TB reality.
     *
     * Scale: pair cost is Σ cell², which is exactly the knob SemDeDup
-    * turns — train enough cells that each is small (k ≈ n/10⁴ keeps
-    * cells ~10⁴ rows); the cell equi-join never plans all-pairs, the
-    * removal set is a distinct projection, survivors = one left-anti
-    * join. Index build is memoized per (session, sf-dir) like the ANN
-    * probes ([[ivfIndex]]), so the decision pass never retrains the
-    * quantizer.
+    * turns — and the FINE grid index holds cell size ≤ $FineTarget by
+    * construction (cells ∝ n), so Σ cell² ≤ n · $FineTarget stays
+    * LINEAR in the corpus (the fixed-cell-count form degraded to n²
+    * at the ×100 fixture — see [[fineIndex]]); the cell equi-join never
+    * plans all-pairs, the removal set is a distinct projection,
+    * survivors = one left-anti join. Index build is memoized per
+    * (session, sf-dir) like the ANN probes, so the decision pass never
+    * retrains the quantizer.
     */
   val qDedupSemantic = QDef(
     "q_dedup_semantic",
     (s, d) => {
-      val (_, lists) = ivfIndex(s, d)
+      val lists = fineIndex(s, d)
       val a = lists.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
         col("nrm").as("an"), col("cell"))
       val b = lists.select(col("vec_id").as("b_id"), col("embedding").as("be"),
@@ -557,13 +640,13 @@ object Sim extends QModule {
     Some {
       val d = (a: String, b: String) => dot("duck", a, b)
       s"""
-      WITH ${ivfListsCtes("duck")},
+      WITH ${fineListsCtes("duck")},
       rem AS (SELECT DISTINCT b.vec_id
-              FROM lists a JOIN lists b
+              FROM fine a JOIN fine b
                 ON a.cell = b.cell AND a.vec_id < b.vec_id
               WHERE ${d("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= CAST(0.4 AS DOUBLE)),
       flagged AS (SELECT l.cell, r.vec_id AS rm
-                  FROM lists l LEFT JOIN rem r ON r.vec_id = l.vec_id)
+                  FROM fine l LEFT JOIN rem r ON r.vec_id = l.vec_id)
       SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_total,
              CAST(SUM(CASE WHEN rm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM flagged GROUP BY cell"""

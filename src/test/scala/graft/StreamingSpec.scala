@@ -475,6 +475,82 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("chained stateful operators: stream-stream join feeding windowed aggregation equals batch") {
+    // TWO stateful operators in one graph — SymmetricHashJoin state then
+    // windowed-agg state. The agg's input watermark is the join's OUTPUT
+    // watermark (input watermark minus the join's interval bound), the
+    // per-operator propagation Spark 3.4+ added; a window may only emit
+    // once THAT delayed watermark passes it, so matching batch exactly on
+    // every emitted window is the semantics under test. Sentinels a day
+    // ahead (non-matching users) push the final watermark past all data.
+    val es = synthEvents(600) // 10-minute span, users 0..6, p/c interleaved
+    val far = new Timestamp(es.last.ts.getTime + 24L * 3600 * 1000)
+    val sentinels = Seq(
+      Event(-1L, far, -999L, "purchase", 0.0),
+      Event(-2L, far, -998L, "click", 0.0))
+    val fed = chunked(es, 6) :+ sentinels
+    val got = runStream("t_chain_joinagg", OutputMode.Append,
+      df => Streams.purchaseClickJoin(df)
+        .groupBy(window(col("p_ts"), "2 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("cnt")),
+      fed)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    val all = (es ++ sentinels).toDF()
+    val p = all.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = all.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val want = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .groupBy(window(col("p_ts"), "2 minutes")).agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("cnt"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "no windows emitted by the join→agg chain")
+    // every data window must have emitted (sentinel watermark passed all
+    // of them) and match the batch count exactly
+    want.filterNot(_._1.getTime >= far.getTime - 2 * 60 * 1000).foreach {
+      case (ws, n) =>
+        assert(got.get(ws).contains(n), s"window $ws: got ${got.get(ws)} want $n")
+    }
+    got.foreach { case (ws, n) =>
+      assert(want.get(ws).contains(n), s"spurious window $ws=$n not in batch")
+    }
+  }
+
+  test("chained stateful operators: streaming dedup feeding stream-stream join equals batch") {
+    // dedup state feeding join state: re-delivered events (at-least-once
+    // source) must be dropped BEFORE the symmetric join, or every re-fed
+    // purchase/click would re-emit its matches downstream — the chain IS
+    // the exactly-once ingest shape. Equality with the batch join over
+    // DISTINCT events proves both stores compose.
+    val es = synthEvents(400)
+    val withDups = chunked(es, 4) :+ es.take(100) // re-feed within watermark
+    val got = runStream("t_chain_dedupjoin", OutputMode.Append,
+      df => Streams.purchaseClickJoin(Streams.dedupStream(df))
+        .select("p_id", "c_id"),
+      withDups)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == got.distinct.size,
+      s"re-fed events re-emitted join matches: ${got.size} rows, ${got.distinct.size} distinct")
+    import spark.implicits._
+    val all = es.toDF()
+    val p = all.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val c = all.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val want = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select("p_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == want)
+  }
+
   test("Update output mode emits per-batch deltas; last update per key equals batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
