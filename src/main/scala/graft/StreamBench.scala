@@ -200,7 +200,9 @@ object StreamBench {
       .start()
     listener.runId = q.runId
     try {
-      val deadline = System.nanoTime() + 10L * 60 * 1000 * 1000 * 1000
+      val deadlineMin =
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_DEADLINE_MIN", "10").toLong
+      val deadline = System.nanoTime() + deadlineMin * 60 * 1000 * 1000 * 1000
       while (listener.stats.size < batches && System.nanoTime() < deadline) {
         q.exception.foreach(throw _)
         Thread.sleep(50)
@@ -270,8 +272,14 @@ object StreamBench {
     val configs = (baseConfigs ++ largeConfigs)
       .filter(c => only.forall(_.contains(c._1)))
     val results = configs.map { case (name, graph, provider, extra) =>
+      // a config that dies (OOM-adjacent state growth, deadline) reports
+      // -1 instead of killing the remaining configs' measurements
       val (thru, p50, p95, n, rows) =
-        run(spark, name, graph, provider, rowsPerBatch, batches, warmup, extra)
+        try run(spark, name, graph, provider, rowsPerBatch, batches, warmup, extra)
+        catch { case e: Throwable =>
+          System.err.println(s"[streambench] $name FAILED: ${e.getMessage}")
+          (-1.0, -1L, -1L, 0, 0L)
+        }
       System.err.println(
         f"[streambench] $name%-17s $thru%12.0f rows/s  p50 $p50%4d ms  p95 $p95%4d ms  ($n batches, $rows rows)")
       name -> (thru, p50, p95, n, rows)

@@ -529,9 +529,28 @@ class StreamingSpec extends SparkSpecBase {
     // DISTINCT events proves both stores compose.
     val es = synthEvents(400)
     val withDups = chunked(es, 4) :+ es.take(100) // re-feed within watermark
+    // The join CANNOT call withWatermark again downstream of the dedup:
+    // redefining a watermark below a stateful operator is disallowed once
+    // multiple stateful operators are permitted (Spark pins this —
+    // [STREAM_FAILED] "Redefining watermark is disallowed"). The legal
+    // chain derives BOTH join sides from the dedup's output, whose single
+    // upstream watermark tag propagates through the projections into
+    // p_ts/c_ts and drives the join's state eviction.
     val got = runStream("t_chain_dedupjoin", OutputMode.Append,
-      df => Streams.purchaseClickJoin(Streams.dedupStream(df))
-        .select("p_id", "c_id"),
+      df => {
+        val dd = Streams.dedupStream(df)
+        val p = dd.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+        val c = dd.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        p.join(c,
+            col("p_user") === col("c_user") &&
+              col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+              col("c_ts") <= col("p_ts"))
+          .select("p_id", "c_id")
+      },
       withDups)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got.size == got.distinct.size,
