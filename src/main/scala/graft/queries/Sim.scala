@@ -424,7 +424,7 @@ object Sim extends QModule {
     * the bucket assignment is bit-identical across engines by
     * construction.
     */
-  private[queries] val FineTarget = 128
+  private[graft] val FineTarget = 128
 
   private[queries] def fineListsSql(dialect: String): String = {
     val e0 = dialect match {
@@ -454,7 +454,7 @@ object Sim extends QModule {
   private[queries] def fineListsCtes(dialect: String): String =
     s"""fine AS (${fineListsSql(dialect)})"""
 
-  private[queries] def fineIndex(s: org.apache.spark.sql.SparkSession, d: String)
+  private[graft] def fineIndex(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val lists = graft.SessionCache.memo(s, s"sim_fine_lists:$d") {
       graft.Tables.register(s, d)

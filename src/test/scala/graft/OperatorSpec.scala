@@ -196,6 +196,53 @@ class OperatorSpec extends SparkSpecBase {
     assert(recall > 0.3, s"IVF recall $recall suspiciously low")
   }
 
+  test("fine grid index: cell size bounded, probe stays adjacent, corpus k-NN overlaps brute force") {
+    import graft.queries.Sim
+    // (1) the whole point of the fine index is the BOUND: no cell may
+    // exceed FineTarget, at any corpus size — this is what keeps the
+    // corpus-wide pair joins linear in n (the ×100 lesson)
+    val lists = Sim.fineIndex(spark, sf)
+    val maxCell = lists.groupBy("cell").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxCell <= Sim.FineTarget,
+      s"fine cell exceeded target: $maxCell > ${Sim.FineTarget}")
+    // (2) structural probe: every returned neighbor must come from the
+    // query's own or an adjacent bucket of the SAME label
+    val meta = lists.select("vec_id", "label", "bucket").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val knn = SparkEntry.queries("q_sim_knn_join")(spark, sf)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(knn.nonEmpty, "k-NN join returned nothing")
+    knn.foreach { case (q, n) =>
+      val (ql, qb) = meta(q); val (nl, nb) = meta(n)
+      assert(ql == nl && math.abs(qb - nb) <= 1,
+        s"neighbor $n of $q from non-adjacent cell: ($ql,$qb) vs ($nl,$nb)")
+    }
+    // (3) recall against the index's actual CONTRACT: like SemDeDup, the
+    // grid blocks by label (the cluster prior) — cross-label neighbors
+    // are out of scope by design, so the reference is the exact top-3
+    // WITHIN the query's label (computable all-pairs at spec SF). The ±1
+    // bucket probe is the approximation under test.
+    Tables.ensureFunctions(spark)
+    val e = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label", "embedding",
+        "sqrt(dot_f(embedding, embedding)) AS nrm")
+    val a = e.select(col("vec_id").as("q_id"), col("label").as("ql"),
+      col("embedding").as("qe"), col("nrm").as("qn"))
+    val b = e.select(col("vec_id").as("n_id"), col("label").as("nl"),
+      col("embedding").as("ne"), col("nrm").as("nn"))
+    val brute = a.join(b, col("ql") === col("nl") && col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim", expr("dot_f(qe, ne)") / (col("qn") * col("nn")))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))))
+      .where(col("rnk") <= 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & knn.toSet).size.toDouble / brute.size
+    assert(recall > 0.6, s"within-label corpus k-NN recall $recall suspiciously low")
+  }
+
   test("dot_l exact integer fold: value, int/long mix, null semantics") {
     Tables.ensureFunctions(spark)
     val r = spark.sql(
