@@ -42,8 +42,7 @@ object Components {
       edges: DataFrame, a: String, b: String, maxIter: Int = 20,
       reliableCheckpoint: Boolean = false, star: Boolean = false): DataFrame = {
     if (star) return starContract(edges, a, b, maxIter, reliableCheckpoint)
-    def snap(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    def snap(df: DataFrame): DataFrame = Iterate.snap(df, reliableCheckpoint)
     val sym = snap(
       edges.select(col(a).as("src"), col(b).as("dst"))
         .union(edges.select(col(b).as("src"), col(a).as("dst")))
@@ -108,8 +107,9 @@ object Components {
   private def starContract(
       edges: DataFrame, a: String, b: String, maxIter: Int,
       reliableCheckpoint: Boolean): DataFrame = {
-    def snap(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint() else df.localCheckpoint()
+    // Iterate.snap: large-star references the edge set twice per round,
+    // so carried stats estimates double in digit count every round
+    def snap(df: DataFrame): DataFrame = Iterate.snap(df, reliableCheckpoint)
     val raw = edges.select(col(a).as("u"), col(b).as("v"))
     val nodes = snap(
       raw.select(col("u").as("id")).union(raw.select(col("v").as("id"))).distinct())

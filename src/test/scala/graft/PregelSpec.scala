@@ -1,0 +1,116 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, Pregel}
+
+/** The general vertex-program surface: SSSP against driver-side Dijkstra,
+  * components against the independently-tested min-label implementation,
+  * and the halting/convergence contract (GraphX semantics).
+  */
+class PregelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ssspPregel(vertices: DataFrame, edges: DataFrame): Map[Long, Long] =
+    Pregel(vertices, edges)
+      .withVertexColumn("dist",
+        when(col("id") === 0L, lit(0L)).otherwise(lit(null).cast("long")),
+        least(col("dist"), Pregel.msg))
+      .sendMsgToDst(
+        when(Pregel.src("dist").isNotNull &&
+          (Pregel.dst("dist").isNull ||
+            Pregel.src("dist") + Pregel.edge("w") < Pregel.dst("dist")),
+          Pregel.src("dist") + Pregel.edge("w")))
+      .aggMsgs(min(Pregel.msg))
+      .setMaxIter(50)
+      .run()
+      .where(col("dist").isNotNull)
+      .select("id", "dist").as[(Long, Long)].collect().toMap
+
+  test("Pregel SSSP equals driver-side Dijkstra on random directed graphs") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = (0 until 120).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, (rnd.nextInt(9) + 1).toLong)
+      }.filter { case (a, b, _) => a != b }.distinct
+      val vs = (0L until n).toDF("id")
+      val es = edges.toDF("src", "dst", "w")
+
+      // reference: textbook Dijkstra from vertex 0 on the collected edges
+      val adj = edges.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(e => (e._2, e._3))
+      }
+      val dist = collection.mutable.Map(0L -> 0L)
+      val pq = collection.mutable.PriorityQueue((0L, 0L))(Ordering.by(-_._2))
+      while (pq.nonEmpty) {
+        val (u, du) = pq.dequeue()
+        if (dist(u) == du) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (dist.get(v).forall(_ > du + w)) { dist(v) = du + w; pq.enqueue((v, du + w)) }
+        }
+      }
+      assert(ssspPregel(vs, es) === dist.toMap)
+    }
+  }
+
+  test("Pregel min-id flooding equals Components.labelPropagate") {
+    val rnd = new Random(7)
+    val pairs = (0 until 60).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val es = pairs.toDF("src", "dst")
+    val vs = es.select(col("src").as("id")).union(es.select(col("dst"))).distinct()
+    val got = Pregel(vs, es)
+      .withVertexColumn("cc", col("id"), least(col("cc"), Pregel.msg))
+      .sendMsgToDst(when(Pregel.src("cc") < Pregel.dst("cc"), Pregel.src("cc")))
+      .sendMsgToSrc(when(Pregel.dst("cc") < Pregel.src("cc"), Pregel.dst("cc")))
+      .aggMsgs(min(Pregel.msg))
+      .setMaxIter(50)
+      .run()
+      .select("id", "cc").as[(Long, Long)].collect().toMap
+    val want = Components.labelPropagate(es, "src", "dst", maxIter = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("halting contract: unreached vertices keep state; no messages ends the run") {
+    // 0→1→2 plus isolated 9: dist(9) stays null (its update saw only
+    // null msgs), and the run stops on the zero-message superstep well
+    // before maxIter (loud-converged, so run() returning proves it).
+    val vs = Seq(0L, 1L, 2L, 9L).toDF("id")
+    val es = Seq((0L, 1L, 5L), (1L, 2L, 5L)).toDF("src", "dst", "w")
+    val got = Pregel(vs, es)
+      .withVertexColumn("dist",
+        when(col("id") === 0L, lit(0L)).otherwise(lit(null).cast("long")),
+        least(col("dist"), Pregel.msg))
+      .sendMsgToDst(
+        when(Pregel.src("dist").isNotNull &&
+          (Pregel.dst("dist").isNull ||
+            Pregel.src("dist") + Pregel.edge("w") < Pregel.dst("dist")),
+          Pregel.src("dist") + Pregel.edge("w")))
+      .aggMsgs(min(Pregel.msg))
+      .setMaxIter(50)
+      .run()
+      .select("id", "dist").as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(0L -> Some(0L), 1L -> Some(5L), 2L -> Some(10L), 9L -> None))
+  }
+
+  test("non-convergence fails loudly; setRequireConverged(false) runs the fixed count") {
+    val vs = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    def flood(p: Pregel) = p
+      .withVertexColumn("cc", col("id"), least(col("cc"), Pregel.msg))
+      .sendMsgToDst(when(Pregel.src("cc") < Pregel.dst("cc"), Pregel.src("cc")))
+      .aggMsgs(min(Pregel.msg))
+    val e = intercept[IllegalArgumentException] {
+      flood(Pregel(vs, es).setMaxIter(1)).run()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // one superstep moves min-labels exactly one hop
+    val one = flood(Pregel(vs, es).setMaxIter(1).setRequireConverged(false))
+      .run().select("id", "cc").as[(Long, Long)].collect().toMap
+    assert(one === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+}
