@@ -375,14 +375,42 @@ object Dedup extends QModule {
       "len(string_split(text, ' '))")
   }
 
+  /** `pos` + `flagged` (positions covered by a corpus-duplicated gram).
+    *
+    * The Spark branch is the shuffle-ONCE window form: one corpus
+    * explode, one gh-keyed exchange, `COUNT(*) OVER (PARTITION BY gh)`
+    * (the q_text_dsir idiom). The two-pass aggregate + IN-semi-join form
+    * it replaces was the one real re-plan the ×100 run surfaced: with
+    * CTEs not materialized, it exploded the corpus TWICE, and once the
+    * HAVING-filtered duplicate-hash table outgrew the broadcast
+    * threshold the probe fell to a sort-merge join that re-sorted the
+    * full positional stream — 33 GB of spill and 129.5 s at ×100
+    * (BASELINE.md). The window form needs no duplicate-table broadcast
+    * at ANY scale. DuckDB keeps the aggregate + semi-join form its
+    * shared-memory optimizer prefers (5.1 s at ×100).
+    */
+  private def flaggedCtes(dialect: String): String = {
+    val (posRel, ghExpr, _) = substrDialect(dialect)
+    val base = s"pos AS (SELECT doc_id, i, $ghExpr AS gh FROM ($posRel))"
+    dialect match {
+      case "spark" =>
+        s"""$base,
+        flagged AS (SELECT doc_id, i FROM
+                      (SELECT doc_id, i, COUNT(*) OVER (PARTITION BY gh) AS c
+                       FROM pos)
+                    WHERE c >= 2)"""
+      case _ =>
+        s"""$base,
+        heavy AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(*) >= 2),
+        flagged AS (SELECT doc_id, i FROM pos WHERE gh IN (SELECT gh FROM heavy))"""
+    }
+  }
+
   private def substrSql(dialect: String): String = {
-    val (posRel, ghExpr, nWords) = substrDialect(dialect)
+    val (_, _, nWords) = substrDialect(dialect)
     s"""
-      WITH pos AS (SELECT doc_id, i, $ghExpr AS gh FROM ($posRel)),
-      heavy AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(*) >= 2),
-      dup AS (SELECT p.doc_id, COUNT(*) AS dup_grams
-              FROM pos p WHERE p.gh IN (SELECT gh FROM heavy)
-              GROUP BY p.doc_id),
+      WITH ${flaggedCtes(dialect)},
+      dup AS (SELECT doc_id, COUNT(*) AS dup_grams FROM flagged GROUP BY doc_id),
       tot AS (SELECT doc_id, $nWords - ${K - 1} AS n_grams FROM documents
               WHERE $nWords >= $K)
       SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
@@ -407,11 +435,8 @@ object Dedup extends QModule {
     * below corpus size.
     */
   private def substrSpanSql(dialect: String): String = {
-    val (posRel, ghExpr, _) = substrDialect(dialect)
     s"""
-      WITH pos AS (SELECT doc_id, i, $ghExpr AS gh FROM ($posRel)),
-      heavy AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(*) >= 2),
-      flagged AS (SELECT doc_id, i FROM pos WHERE gh IN (SELECT gh FROM heavy)),
+      WITH ${flaggedCtes(dialect)},
       runs AS (SELECT doc_id, i,
                  i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS island
                FROM flagged),
@@ -443,7 +468,6 @@ object Dedup extends QModule {
     * the first stage of the curation flagship [[qDedupCuratePipeline]].
     */
   private def cutCtes(dialect: String): String = {
-    val (posRel, ghExpr, _) = substrDialect(dialect)
     val (wordsRel, coverRel, agg) = dialect match {
       case "spark" => (
         """SELECT doc_id, pos + 1 AS pos, word
@@ -459,9 +483,7 @@ object Dedup extends QModule {
            FROM spans, UNNEST(generate_series(s, s + w - 1)) AS c(u)""",
         "STRING_AGG(CASE WHEN keep THEN word END, ' ' ORDER BY pos)")
     }
-    s"""pos AS (SELECT doc_id, i, $ghExpr AS gh FROM ($posRel)),
-      heavy AS (SELECT gh FROM pos GROUP BY gh HAVING COUNT(*) >= 2),
-      flagged AS (SELECT doc_id, i FROM pos WHERE gh IN (SELECT gh FROM heavy)),
+    s"""${flaggedCtes(dialect)},
       runs AS (SELECT doc_id, i,
                  i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS island
                FROM flagged),
