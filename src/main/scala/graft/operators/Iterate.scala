@@ -16,17 +16,25 @@ import org.apache.spark.sql.DataFrame
   * planning but grinding Karatsuba multiplications on numbers with tens
   * of thousands of digits (observed: q_graph_sssp wedged the optimizer
   * in `SizeInBytesOnlyStatsPlanVisitor` for minutes at 15k rows).
-  * Rebuilding the frame from the checkpointed RDD drops the origin stats
-  * back to the constant default; at runtime AQE re-plans every exchange
-  * from REAL sizes, so nothing is lost at 100 TB — static estimates only
-  * seed the initial strategy choice.
+  * CAPPING the carried estimate at `Long.MaxValue` bounds the BigInt at
+  * 19 digits (squaring re-caps next round) while leaving small-state
+  * estimates untouched, so per-round broadcast decisions — and the
+  * per-round job count — are exactly what an un-snapped checkpoint
+  * would give; at runtime AQE still re-plans every exchange from REAL
+  * sizes, so nothing is lost at 100 TB.
   */
 object Iterate {
 
   /** Eagerly materialize one round's state and return a frame whose plan
-    * is a fresh scan of the materialized blocks — O(1) lineage, O(1)
-    * stats, at the cost of one InternalRow→Row→InternalRow pass per
-    * consumption (per-vertex state rows, never edges or payloads).
+    * is a fresh scan of the materialized blocks — O(1) lineage, BOUNDED
+    * stats, ZERO cost beyond the checkpoint's own job: the carried
+    * estimate is capped, not rebuilt
+    * ([[org.apache.spark.sql.graft.InternalSnap]]), so no extra job runs,
+    * rows stay in Tungsten format, the checkpoint's physical partitioning
+    * survives for downstream joins, and small state keeps its broadcast
+    * eligibility. (The earlier `createDataFrame(ck.rdd, schema)` form
+    * paid +1 job and a Row round-trip per round — the Components
+    * job-count spec caught it.)
     *
     * @param reliable HDFS-backed checkpoint (caller must set
     *                 `sparkContext.setCheckpointDir`) instead of
@@ -35,6 +43,6 @@ object Iterate {
     */
   def snap(df: DataFrame, reliable: Boolean): DataFrame = {
     val ck = if (reliable) df.checkpoint() else df.localCheckpoint()
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    org.apache.spark.sql.graft.InternalSnap.capOriginStats(ck)
   }
 }

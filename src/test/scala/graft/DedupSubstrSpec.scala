@@ -220,14 +220,20 @@ class DedupSubstrSpec extends SparkSpecBase {
       s"cover probe degraded to a nested loop:\n$plan")
   }
 
-  test("substr dedup plan: heavy-gram build side is a filtered aggregate feeding a semi join") {
+  test("substr dedup plan is the shuffle-once window form: one explode, window on gh, no nested loop") {
+    // The ×100 re-plan contract (Dedup.flaggedCtes, spark dialect): the
+    // corpus position stream is exploded exactly ONCE and flows through a
+    // single gh-keyed exchange into COUNT(*) OVER (PARTITION BY gh) — the
+    // replaced aggregate+IN-semi-join form exploded the corpus twice and
+    // fell off the broadcast threshold at scale (33 GB spill at ×100).
     val plan = SparkEntry.queries("q_dedup_substr")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), s"heavy-gram probe is not a semi join:\n$plan")
-    // the probe's build side must be the HAVING-filtered aggregate, so the
-    // corpus-sized position stream is NEVER the build side
-    assert(plan.linesIterator.exists(l => l.contains("Filter") && l.contains("count")),
-      s"heavy set not filtered before the join:\n$plan")
+    val explodes = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes == 1,
+      s"corpus must be exploded exactly once, found $explodes:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("windowspecdefinition(gh")),
+      s"duplicate flagging is not a gh-partitioned window count:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"substr dedup degraded to a non-equi join:\n$plan")
   }
