@@ -147,7 +147,7 @@ object Bench {
     val scaleJson: String = if (!sys.env.get("SPARK_GRAFT_SCALE_REPORT").contains("1")) "" else {
       val spillMem = new java.util.concurrent.atomic.AtomicLong()
       val spillDisk = new java.util.concurrent.atomic.AtomicLong()
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val taskListener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
           if (m != null) {
@@ -155,15 +155,17 @@ object Bench {
             spillDisk.addAndGet(m.diskBytesSpilled)
           }
         }
-      })
+      }
+      spark.sparkContext.addSparkListener(taskListener)
       val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      val planListener = new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(f: String,
             qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
           plans.add(qe.executedPlan.toString)
         override def onFailure(f: String,
             qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-      })
+      }
+      spark.listenerManager.register(planListener)
       val entries = benchSet.filterNot(q => failed(q.name)).map { q =>
         plans.clear()
         val m0 = spillMem.get(); val d0 = spillDisk.get()
@@ -188,6 +190,11 @@ object Bench {
           System.err.println(f"[bench] scale ${q.name}: spill_mem=${sMb}%.0fMB spill_disk=${dMb}%.0fMB skew=$skew")
         s""""${q.name}":{"spill_mem_mb":${fmt(sMb)},"spill_disk_mb":${fmt(dMb)},"aqe_skew":$skew,"aqe_coalesced":$coalesced}"""
       }
+      // Unregister before the canary probes / pipelined passes that follow:
+      // a lingering QueryExecutionListener accumulates plan strings and adds
+      // listener-bus work to the very passes being timed (ADVICE r8).
+      spark.sparkContext.removeSparkListener(taskListener)
+      spark.listenerManager.unregister(planListener)
       s""","scale":${entries.mkString("{", ",", "}")}"""
     }
     // Build-vs-steady split: round 1 pays any SessionCache index build
@@ -331,8 +338,18 @@ object Bench {
     val buildTotal = buildS.map(_._2).sum
     val commonTail =
       s""""failed":$failedJson,"rounds":$rounds,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"pipelined_total":${fmt(pipelinedTotal)},"pipelined_best_quiet":${fmt(pipelinedBestQuiet)},"pipelined_passes":$passesJson,"value_steady":${fmt(valueSteady)},"build_total":${fmt(buildTotal)},"sched_mode":"$schedMode","pipe_threads":$pipeThreads,"sf":"$sfDir""""
+    // Per-superstep breakdown of the iterative graph members (most recent
+    // run per tag): wall-clock regressions in driver-loop operators hide
+    // INSIDE the loop — a per-query total can't show one slow superstep.
+    val graphRounds = {
+      import scala.jdk.CollectionConverters._
+      operators.Pregel.lastRuns.asScala.toSeq.sortBy(_._1).map { case (tag, rs) =>
+        val arr = rs.map { case (n, s) => s"[$n,${fmt(s)}]" }.mkString("[", ",", "]")
+        "\"" + tag + "\":" + arr
+      }.mkString("{", ",", "}")
+    }
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_steady":${qmap(perQuerySteady)},"queries_r1":${qmap(perQueryR1)},"build_s":${qmap(buildS)},"rounds_raw":$raw,$commonTail$scaleJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_steady":${qmap(perQuerySteady)},"queries_r1":${qmap(perQueryR1)},"build_s":${qmap(buildS)},"rounds_raw":$raw,"graph_rounds":$graphRounds,$commonTail$scaleJson}"""
     // Persist the FULL artifact unconditionally: (a) a stable in-repo path
     // (gitignored) the judge can always read, (b) the driver-designated
     // path. The driver's stdout capture has truncated the long line

@@ -52,7 +52,9 @@ final class Pregel private (
     aggExpr: Option[Column],
     maxIterations: Int,
     reliable: Boolean,
-    requireConverged: Boolean) {
+    requireConverged: Boolean,
+    tag: Option[String],
+    tripletFields: Option[(Boolean, Boolean)]) {
 
   private def copy(
       stateCols: Seq[(String, Column, Column)] = stateCols,
@@ -61,9 +63,11 @@ final class Pregel private (
       aggExpr: Option[Column] = aggExpr,
       maxIterations: Int = maxIterations,
       reliable: Boolean = reliable,
-      requireConverged: Boolean = requireConverged): Pregel =
+      requireConverged: Boolean = requireConverged,
+      tag: Option[String] = tag,
+      tripletFields: Option[(Boolean, Boolean)] = tripletFields): Pregel =
     new Pregel(vertices, edges, stateCols, msgsToDst, msgsToSrc, aggExpr,
-      maxIterations, reliable, requireConverged)
+      maxIterations, reliable, requireConverged, tag, tripletFields)
 
   /** Add a state column: `init` is evaluated once over the vertex row;
     * `update` is evaluated each superstep over the vertex row (current
@@ -101,6 +105,26 @@ final class Pregel private (
     */
   def setRequireConverged(b: Boolean): Pregel = copy(requireConverged = b)
 
+  /** Record this run's per-superstep (delivered messages, seconds) under
+    * `name` in [[Pregel.lastRuns]] — wall-clock regressions in iterative
+    * operators hide INSIDE the driver loop, so the bench surfaces the
+    * per-round breakdown, not just the total.
+    */
+  def setTag(name: String): Pregel = copy(tag = Some(name))
+
+  /** Which endpoint STATES the message expressions read — the GraphX
+    * `TripletFields` optimization: a superstep only joins the state
+    * tables a message actually references, so a program whose sends read
+    * only the source state (frontier-gated SSSP/CC, PageRank) pays ONE
+    * state join per superstep instead of two. Auto-detected from the
+    * message expressions by default (`src.`/`dst.` references; a false
+    * positive merely keeps the join); set explicitly only if a message
+    * smuggles a reference past detection — a wrongly-skipped join fails
+    * LOUDLY at analysis (unresolved column), never silently.
+    */
+  def setTripletFields(useSrcState: Boolean, useDstState: Boolean): Pregel =
+    copy(tripletFields = Some((useSrcState, useDstState)))
+
   /** @return the vertex table with final state columns. */
   def run(): DataFrame = {
     require(stateCols.nonEmpty, "at least one withVertexColumn is required")
@@ -116,17 +140,33 @@ final class Pregel private (
     // state TWICE, so carried stats estimates square per superstep
     def snap(df: DataFrame): DataFrame = Iterate.snap(df, reliable)
 
+    // TripletFields pruning: join only the endpoint states the messages
+    // read (regex with a word boundary; literals that merely CONTAIN
+    // "src."/"dst." keep the join — the safe direction).
+    val (needSrc, needDst) = tripletFields.getOrElse {
+      val texts = (msgsToDst ++ msgsToSrc).map(_.toString)
+      (texts.exists(_.matches("""(?s).*\bsrc\..*""")),
+        texts.exists(_.matches("""(?s).*\bdst\..*""")))
+    }
+
     val e = snap(edges.select(struct(col("*")).as("edge")))
     var cur = snap(stateCols.foldLeft(vertices) {
       case (df, (n, init, _)) => df.withColumn(n, init)
     })
     var i = 0
     var active = true
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     while (active && i < maxIterations) {
-      val tri = e
-        .join(cur.select(col("id").as("_sid"), struct(col("*")).as("src")),
+      val t0 = System.nanoTime()
+      val triSrc =
+        if (!needSrc) e
+        else e.join(
+          cur.select(col("id").as("_sid"), struct(col("*")).as("src")),
           col("edge.src") === col("_sid"))
-        .join(cur.select(col("id").as("_did"), struct(col("*")).as("dst")),
+      val tri =
+        if (!needDst) triSrc
+        else triSrc.join(
+          cur.select(col("id").as("_did"), struct(col("*")).as("dst")),
           col("edge.dst") === col("_did"))
       val outbound =
         msgsToDst.map(m => tri.select(col("edge.dst").as("id"), m.as(Pregel.MsgCol))) ++
@@ -144,10 +184,14 @@ final class Pregel private (
           .drop(Pregel.MsgCol))
       // the eager checkpoint above already ran the plan; get() returns
       // the recorded metric without another action (null sum = no rows)
-      active = !Option(obs.get("delivered")).forall(_ == 0L)
+      val nDelivered =
+        Option(obs.get("delivered")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      active = nDelivered != 0L
+      rounds += ((nDelivered, (System.nanoTime() - t0) / 1e9))
       cur = next
       i += 1
     }
+    tag.foreach(Pregel.lastRuns.put(_, rounds.toSeq))
     require(!requireConverged || !active,
       s"Pregel did not converge in $maxIterations supersteps — messages " +
         "were still flowing; raise setMaxIter (rounds scale with graph " +
@@ -159,8 +203,18 @@ final class Pregel private (
 object Pregel {
   private[operators] val MsgCol = "_pregel_msg"
 
+  /** Per-tag per-superstep (delivered, seconds) of the most recent tagged
+    * [[Pregel.run]] — drained by `graft.Bench` into `bench_last.json`'s
+    * `graph_rounds` so superstep-level regressions are visible, not
+    * averaged away. Last-run-wins per tag; concurrent runs of the SAME
+    * tag would interleave, so bench reads it after its sequential rounds.
+    */
+  val lastRuns =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Double)]]()
+
   def apply(vertices: DataFrame, edges: DataFrame): Pregel =
-    new Pregel(vertices, edges, Nil, Nil, Nil, None, 20, false, true)
+    new Pregel(vertices, edges, Nil, Nil, Nil, None, 20, false, true, None,
+      None)
 
   /** The sending edge's source-vertex column, inside message expressions. */
   def src(c: String): Column = col(s"src.$c")

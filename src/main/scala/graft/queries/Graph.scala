@@ -38,9 +38,14 @@ object Graph extends QModule {
     * Scale: rounds = max chain length (join-degree-preserving at any
     * corpus scale — ~24 orders/customer at sf0.1 and at ×10, so ~25
     * supersteps); each superstep shuffles edges (one row per order) and
-    * one message per frontier vertex, never the cross product. SSSP send
-    * is gated on IMPROVEMENT (src.dist + w < dst.dist), so message
-    * volume decays with the frontier exactly as in GraphX.
+    * one message per frontier vertex, never the cross product. The
+    * frontier is tracked IN STATE (`improved` = "my dist dropped last
+    * round") and sends gate on `src.improved` alone, so the superstep
+    * joins only the SOURCE state table — the GraphX `TripletFields.Src`
+    * shape, one state join (and one broadcast/shuffle) per superstep
+    * instead of two. Message volume still decays with the frontier; the
+    * run halts one round after the last improvement (the round that
+    * delivers zero messages), same as the dst-gated form ±1 round.
     */
   val qGraphSssp = QDef(
     "q_graph_sssp",
@@ -59,16 +64,19 @@ object Graph extends QModule {
         lead(col("w"), 1).over(seq).as("w"))
         .where(col("dst").isNotNull)
       Pregel(vertices, edges)
+        // "improved" updates FIRST so it compares the message against the
+        // PREVIOUS dist; "dist" then folds the message in.
+        .withVertexColumn("improved", col("is_root"),
+          Pregel.msg.isNotNull &&
+            (col("dist").isNull || Pregel.msg < col("dist")))
         .withVertexColumn("dist",
           when(col("is_root"), lit(0L)).otherwise(lit(null).cast("long")),
           least(col("dist"), Pregel.msg))
         .sendMsgToDst(
-          when(Pregel.src("dist").isNotNull &&
-            (Pregel.dst("dist").isNull ||
-              Pregel.src("dist") + Pregel.edge("w") < Pregel.dst("dist")),
-            Pregel.src("dist") + Pregel.edge("w")))
+          when(Pregel.src("improved"), Pregel.src("dist") + Pregel.edge("w")))
         .aggMsgs(min(Pregel.msg))
         .setMaxIter(60)
+        .setTag("sssp")
         .run()
         .select(col("id").as("o_orderkey"), col("dist").as("dist_cents"))
     },
@@ -79,7 +87,8 @@ object Graph extends QModule {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""),
+    bench = true)
 
   /** Connected components as a general vertex program: min-id flooding
     * over the verified near-dup pairs (the same graph and the same
@@ -87,6 +96,13 @@ object Graph extends QModule {
     * surface oracle-equal to the two special-cased algorithms in
     * [[graft.operators.Components]] forever, not just property-equal on
     * generated graphs.
+    *
+    * The undirected flood SYMMETRIZES the edge list once up front and
+    * gates sends on `src.improved` ("my label dropped last round";
+    * everyone announces in round 1) — like [[qGraphSssp]] this reads only
+    * source state, so triplet-field pruning drops the dst-state join the
+    * earlier two-directional (`sendMsgToSrc` + `src.cc < dst.cc`) form
+    * forced every superstep.
     */
   val qGraphCc = QDef(
     "q_graph_cc",
@@ -95,16 +111,84 @@ object Graph extends QModule {
       val vertices = pairs.select(col("a_id").as("id"))
         .union(pairs.select(col("b_id"))).distinct()
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       Pregel(vertices, edges)
+        .withVertexColumn("improved", lit(true),
+          Pregel.msg.isNotNull && Pregel.msg < col("cc"))
         .withVertexColumn("cc", col("id"), least(col("cc"), Pregel.msg))
-        .sendMsgToDst(when(Pregel.src("cc") < Pregel.dst("cc"), Pregel.src("cc")))
-        .sendMsgToSrc(when(Pregel.dst("cc") < Pregel.src("cc"), Pregel.dst("cc")))
+        .sendMsgToDst(when(Pregel.src("improved"), Pregel.src("cc")))
         .aggMsgs(min(Pregel.msg))
         .setMaxIter(30)
+        .setTag("cc")
         .run()
         .select(col("id").as("doc_id"), col("cc").as("rep"))
     },
-    Dedup.qDedupCluster.oracle)
+    Dedup.qDedupCluster.oracle,
+    bench = true)
 
-  val defs: Seq[QDef] = Seq(qGraphSssp, qGraphCc)
+  /** Damped PageRank-style rank over the order-succession graph, run for
+    * a FIXED number of supersteps — the `setRequireConverged(false)` mode
+    * ([[qGraphSssp]]/[[qGraphCc]] pin the converging mode): messages
+    * flow every round (unconditional send), so only the iteration cap
+    * ends the run, exactly the PageRank shape where rank keeps moving.
+    *
+    * Exactness: damping d = 17/20 and rank scaled by 20^k per superstep
+    * keeps ALL arithmetic in BIGINT — the state carries `p20 = 20^k`
+    * (init 1, ×20 per round, updated after `a` so `a`'s fold sees the
+    * previous power) and folds `a ← 3·20^k + 17·Σ a(in-neighbors)`, so
+    * `a = rank · 20^K` exactly, no floating point anywhere. On the
+    * out-degree-1 succession chains the recurrence telescopes to the
+    * closed form `a_K(v_p) = 20^K − (p ≤ K ? 17^p · 20^(K−p) : 0)` with
+    * p the 1-based chain position — the oracle is that window
+    * expression, an entirely different computation path (no iteration at
+    * all), so the hash-compare proves the superstep loop ran EXACTLY K
+    * rounds with correctly-oriented sum-aggregated messages.
+    *
+    * Scale: identical per-superstep shape to [[qGraphSssp]] (edges ≈ one
+    * row per order, one message per non-tail vertex), but message volume
+    * stays CONSTANT across rounds instead of decaying with a frontier —
+    * the honest cost model of fixed-iteration algorithms, and why K is a
+    * parameter a 100 TB run budgets explicitly.
+    */
+  private val PrIter = 8
+
+  val qGraphRank = QDef(
+    "q_graph_rank",
+    (s, d) => {
+      val seq = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val chain = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .withColumn("rn", row_number().over(seq))
+      val vertices = chain.select(col("o_orderkey").as("id"))
+      val edges = chain.select(
+        col("o_orderkey").as("src"),
+        lead(col("o_orderkey"), 1).over(seq).as("dst"))
+        .where(col("dst").isNotNull)
+      Pregel(vertices, edges)
+        .withVertexColumn("a", lit(1L),
+          lit(3L) * col("p20") + lit(17L) * coalesce(Pregel.msg, lit(0L)))
+        .withVertexColumn("p20", lit(1L), col("p20") * lit(20L))
+        .sendMsgToDst(Pregel.src("a"))
+        .aggMsgs(sum(Pregel.msg))
+        .setMaxIter(PrIter)
+        .setRequireConverged(false)
+        .setTag("rank")
+        .run()
+        .select(col("id").as("o_orderkey"), col("a").as("rank_scaled"))
+    },
+    Some(s"""
+      SELECT o_orderkey,
+             CAST(${BigInt(20).pow(PrIter)} -
+                  CASE WHEN p <= $PrIter
+                       THEN CAST(ROUND(POWER(17, p) * POWER(20, $PrIter - p))
+                                 AS BIGINT)
+                       ELSE 0 END AS BIGINT) AS rank_scaled
+      FROM (SELECT o_orderkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS p
+            FROM orders)"""),
+    bench = true)
+
+  val defs: Seq[QDef] = Seq(qGraphSssp, qGraphCc, qGraphRank)
 }

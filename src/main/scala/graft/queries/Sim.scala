@@ -437,7 +437,7 @@ object Sim extends QModule {
     }
     val d = (a: String, b: String) => dot(dialect, a, b)
     s"""SELECT vec_id, embedding, nrm, label, bucket,
-              CAST(label AS BIGINT) * 100000 + bucket AS cell
+              CAST(label AS BIGINT) * 4294967296 + bucket AS cell
        FROM (SELECT vec_id, embedding, nrm, label,
                     CAST(((rn - 1) * ((cnt + ${FineTarget - 1}) $idiv $FineTarget)) $idiv cnt AS BIGINT) AS bucket
              FROM (SELECT vec_id, embedding, label,
@@ -461,7 +461,17 @@ object Sim extends QModule {
       s.sql(fineListsSql("spark")).persist()
     }
     graft.SessionCache.memo(s, s"sim_fine_built:$d") {
-      lists.count(); lists.limit(0)
+      // Materialize AND guard the cell encoding in the same one-time job:
+      // `cell = label·2³² + bucket` is collision-free only while
+      // bucket < 2³² (i.e. < 2³²·FineTarget ≈ 5.5e11 vectors per label) —
+      // beyond that adjacent labels' cells would silently merge, and the
+      // mirrored oracle would hide it (ADVICE r8).
+      val maxBucket = lists
+        .agg(org.apache.spark.sql.functions.max("bucket")).head.getLong(0)
+      require(maxBucket < (1L << 32),
+        s"fine grid bucket $maxBucket overflows the label*2^32+bucket cell " +
+          "encoding — widen the multiplier before cells collide across labels")
+      lists.limit(0)
     }
     lists
   }

@@ -113,4 +113,32 @@ class PregelSpec extends SparkSpecBase {
       .run().select("id", "cc").as[(Long, Long)].collect().toMap
     assert(one === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("triplet-field pruning: a src-only program skips the dst-state join's jobs") {
+    // Same graph, same FIXED round count; the only difference is a dead
+    // dst-state reference in the message. The pruned program must run
+    // strictly fewer jobs — at least one (the dst-side broadcast/join
+    // job) per superstep. This is the GraphX TripletFields contract:
+    // don't pay for endpoint state the program never reads.
+    val vs = (0L until 50L).toDF("id")
+    val es = (0L until 49L).map(i => (i, i + 1)).toDF("src", "dst")
+    val rounds = 4
+    def run(group: String, msg: org.apache.spark.sql.Column): Int = {
+      spark.sparkContext.setJobGroup(group, "pregel pruning job audit")
+      try Pregel(vs, es)
+        .withVertexColumn("x", col("id"), coalesce(Pregel.msg, col("x")))
+        .sendMsgToDst(msg)
+        .aggMsgs(min(Pregel.msg))
+        .setMaxIter(rounds).setRequireConverged(false)
+        .run().write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    }
+    val jSrcOnly = run("pregel-prune-src", Pregel.src("x"))
+    val jBoth = run("pregel-prune-both",
+      Pregel.src("x") + lit(0L) * Pregel.dst("x"))
+    assert(jBoth - jSrcOnly >= rounds,
+      s"dst-state join not pruned: src-only ran $jSrcOnly jobs vs $jBoth " +
+        s"with a dst reference over $rounds fixed supersteps")
+  }
 }
