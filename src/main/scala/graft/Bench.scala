@@ -107,6 +107,18 @@ object Bench {
       s((s.size - 1) / 2)
     }
     def fmt(d: Double): String = f"$d%.4f"
+    // Per-superstep breakdown of the iterative graph members, snapshotted
+    // HERE — right after the sequential rounds, before the contended
+    // pipelined passes overwrite the per-tag buffers: wall-clock
+    // regressions in driver-loop operators hide INSIDE the loop, where a
+    // per-query total averages them away.
+    val graphRounds = {
+      import scala.jdk.CollectionConverters._
+      operators.Pregel.lastRuns.asScala.toSeq.sortBy(_._1).map { case (tag, rs) =>
+        val arr = rs.map { case (n, s) => s"[$n,${fmt(s)}]" }.mkString("[", ",", "]")
+        "\"" + tag + "\":" + arr
+      }.mkString("{", ",", "}")
+    }
     val perQuery = names.map { n =>
       n -> (if (failed(n)) -1.0 else median(times(n)))
     }
@@ -338,16 +350,6 @@ object Bench {
     val buildTotal = buildS.map(_._2).sum
     val commonTail =
       s""""failed":$failedJson,"rounds":$rounds,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"pipelined_total":${fmt(pipelinedTotal)},"pipelined_best_quiet":${fmt(pipelinedBestQuiet)},"pipelined_passes":$passesJson,"value_steady":${fmt(valueSteady)},"build_total":${fmt(buildTotal)},"sched_mode":"$schedMode","pipe_threads":$pipeThreads,"sf":"$sfDir""""
-    // Per-superstep breakdown of the iterative graph members (most recent
-    // run per tag): wall-clock regressions in driver-loop operators hide
-    // INSIDE the loop — a per-query total can't show one slow superstep.
-    val graphRounds = {
-      import scala.jdk.CollectionConverters._
-      operators.Pregel.lastRuns.asScala.toSeq.sortBy(_._1).map { case (tag, rs) =>
-        val arr = rs.map { case (n, s) => s"[$n,${fmt(s)}]" }.mkString("[", ",", "]")
-        "\"" + tag + "\":" + arr
-      }.mkString("{", ",", "}")
-    }
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_steady":${qmap(perQuerySteady)},"queries_r1":${qmap(perQueryR1)},"build_s":${qmap(buildS)},"rounds_raw":$raw,"graph_rounds":$graphRounds,$commonTail$scaleJson}"""
     // Persist the FULL artifact unconditionally: (a) a stable in-repo path

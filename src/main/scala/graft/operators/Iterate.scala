@@ -45,4 +45,18 @@ object Iterate {
     val ck = if (reliable) df.checkpoint() else df.localCheckpoint()
     org.apache.spark.sql.graft.InternalSnap.capOriginStats(ck)
   }
+
+  /** [[snap]] with a GUARANTEED hash layout: checkpoint behind an explicit
+    * `repartition(n, keys)` (elided by the optimizer when the round's plan
+    * already preserves the layout) and DECLARE that partitioning on the
+    * snapped leaf — `LogicalRDD.fromDataset`'s own capture loses it under
+    * AQE, and without it every superstep re-exchanges (or re-broadcasts)
+    * the state table the previous superstep just placed. The iterative
+    * loops' "state never moves" contract rests on this.
+    */
+  def snapKeyed(
+      df: DataFrame, keys: Seq[String], n: Int, reliable: Boolean,
+      in: Option[org.apache.spark.sql.SparkSession] = None): DataFrame =
+    org.apache.spark.sql.graft.InternalSnap.snapHashPartitioned(
+      df, keys, n, reliable, in)
 }

@@ -136,9 +136,11 @@ final class Pregel private (
     require(edges.columns.contains("src") && edges.columns.contains("dst"),
       "edges must carry `src` and `dst` columns")
 
-    // Iterate.snap, not plain checkpoint: a triplet join references the
-    // state TWICE, so carried stats estimates square per superstep
-    def snap(df: DataFrame): DataFrame = Iterate.snap(df, reliable)
+    // Iterate.snapKeyed, not plain checkpoint: (a) a triplet join
+    // references the state TWICE, so carried stats estimates square per
+    // superstep without the cap; (b) the declared hash layout is what
+    // keeps every round's joins exchange-free — see the dataflow note
+    // below.
 
     // TripletFields pruning: join only the endpoint states the messages
     // read (regex with a word boundary; literals that merely CONTAIN
@@ -149,10 +151,42 @@ final class Pregel private (
         texts.exists(_.matches("""(?s).*\bdst\..*""")))
     }
 
-    val e = snap(edges.select(struct(col("*")).as("edge")))
-    var cur = snap(stateCols.foldLeft(vertices) {
-      case (df, (n, init, _)) => df.withColumn(n, init)
-    })
+    // STATE NEVER MOVES — the GraphX dataflow, relationally. Edges are
+    // hash-partitioned ONCE on the frequently-joined endpoint; the state
+    // table starts hash-partitioned on `id` and every superstep's fold
+    // (a co-partitioned stream-side join) preserves that partitioning,
+    // which `Iterate.snap` carries THROUGH the checkpoint. The per-round
+    // triplet join is therefore exchange-free and broadcast-free (the
+    // shuffle_hash hint keeps Catalyst from re-introducing a per-round
+    // driver collect+broadcast of the whole state, whose cost scales with
+    // STATE size); the only per-round data movement is the message
+    // aggregation + its repartition back onto the state layout — both
+    // FRONTIER-sized, decaying with message volume. At 100 TB this is the
+    // difference between re-shipping every vertex every superstep and
+    // shipping only what changed. (A dst-reading program's second state
+    // join still lets Catalyst choose its strategy — co-locating BOTH
+    // endpoints needs a second edge copy, GraphX's routing-table trade,
+    // which a caller can express by symmetrizing edges and reading src
+    // only — see q_graph_cc.)
+    val P = vertices.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val partKey = if (needSrc || !needDst) "_esrc" else "_edst"
+    // The loop body runs in a cloned session with AQE off: a superstep's
+    // plan is fixed and pre-placed (declared co-partitioning, pinned
+    // exchange count), so per-round adaptive re-planning is pure driver
+    // overhead; the final state is re-rooted into the caller's session.
+    // Cloned once per base session (fresh SessionState init costs a few
+    // hundred ms) and reused by every run.
+    val ls = Pregel.loopSessions.get(vertices.sparkSession)(_ =>
+      org.apache.spark.sql.graft.InternalSnap.loopSession(vertices))
+    val e = Iterate.snapKeyed(
+      edges.select(col("src").as("_esrc"), col("dst").as("_edst"),
+        struct(col("*")).as("edge")),
+      Seq(partKey), P, reliable, Some(ls))
+    var cur = Iterate.snapKeyed(
+      stateCols.foldLeft(vertices) {
+        case (df, (n, init, _)) => df.withColumn(n, init)
+      },
+      Seq("id"), P, reliable, Some(ls))
     var i = 0
     var active = true
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
@@ -161,27 +195,44 @@ final class Pregel private (
       val triSrc =
         if (!needSrc) e
         else e.join(
-          cur.select(col("id").as("_sid"), struct(col("*")).as("src")),
-          col("edge.src") === col("_sid"))
+          cur.select(col("id").as("_sid"), struct(col("*")).as("src"))
+            .hint("shuffle_hash"),
+          col("_esrc") === col("_sid"))
       val tri =
         if (!needDst) triSrc
         else triSrc.join(
           cur.select(col("id").as("_did"), struct(col("*")).as("dst")),
-          col("edge.dst") === col("_did"))
+          col("_edst") === col("_did"))
       val outbound =
-        msgsToDst.map(m => tri.select(col("edge.dst").as("id"), m.as(Pregel.MsgCol))) ++
-          msgsToSrc.map(m => tri.select(col("edge.src").as("id"), m.as(Pregel.MsgCol)))
+        msgsToDst.map(m => tri.select(col("_edst").as("id"), m.as(Pregel.MsgCol))) ++
+          msgsToSrc.map(m => tri.select(col("_esrc").as("id"), m.as(Pregel.MsgCol)))
+      // One frontier-sized shuffle per round: the message aggregation
+      // (map-side combined). Its exchange lands at P partitions and the
+      // fold stage also reads the state's checkpoint blocks, so AQE
+      // cannot coalesce the read — the fold join is co-partitioned with
+      // the state AS PLANNED and the state side never moves.
       val delivered = outbound.reduce(_ unionByName _)
         .where(col(Pregel.MsgCol).isNotNull)
         .groupBy("id").agg(agg.as(Pregel.MsgCol))
+        .hint("shuffle_hash") // build the frontier, never the state
       val obs = Observation()
-      val next = snap(
+      val folded =
         stateCols.foldLeft(cur.join(delivered, Seq("id"), "left")) {
           case (df, (n, _, update)) => df.withColumn(n, update)
         }
           .observe(obs, sum(when(col(Pregel.MsgCol).isNotNull, 1L).otherwise(0L))
             .as("delivered"))
-          .drop(Pregel.MsgCol))
+          .drop(Pregel.MsgCol)
+      val next = Iterate.snapKeyed(folded, Seq("id"), P, reliable, Some(ls))
+      // Round-2 plan, recorded per tag (and dumpable via the dev knob):
+      // the steady-state shape — exchange-free co-partitioned joins, one
+      // frontier shuffle, pruned endpoint states — either holds here or
+      // doesn't, and `PregelSpec` pins it structurally.
+      if (i == 1 && tag.isDefined)
+        Pregel.lastPlans.put(tag.get, folded.queryExecution.executedPlan.toString)
+      if (i == 1 && sys.env.get("SPARK_GRAFT_PREGEL_EXPLAIN").contains("1"))
+        System.err.println(folded.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       // the eager checkpoint above already ran the plan; get() returns
       // the recorded metric without another action (null sum = no rows)
       val nDelivered =
@@ -196,7 +247,8 @@ final class Pregel private (
       s"Pregel did not converge in $maxIterations supersteps — messages " +
         "were still flowing; raise setMaxIter (rounds scale with graph " +
         "diameter) instead of consuming partial state")
-    cur
+    org.apache.spark.sql.graft.InternalSnap
+      .reRootSnapped(cur, vertices.sparkSession)
   }
 }
 
@@ -211,6 +263,17 @@ object Pregel {
     */
   val lastRuns =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Double)]]()
+
+  /** One AQE-off loop session per base session, shared by all runs. */
+  private[operators] val loopSessions =
+    new graft.SessionKeyed[org.apache.spark.sql.SparkSession]
+
+  /** Round-2 (steady-state) executed-plan string of the most recent
+    * tagged run — the structural evidence for the superstep contract
+    * (scan/join/exchange counts) that job- or stage-count proxies can't
+    * pin reliably across planner modes.
+    */
+  val lastPlans = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def apply(vertices: DataFrame, edges: DataFrame): Pregel =
     new Pregel(vertices, edges, Nil, Nil, Nil, None, 20, false, true, None,

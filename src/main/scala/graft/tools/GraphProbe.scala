@@ -23,7 +23,8 @@ object GraphProbe {
     val confs = args.drop(2).toSeq.map { kv =>
       val Array(k, v) = kv.split("=", 2); (k, v)
     }
-    val b = Engine.builder("graft-graph-probe", "local[8]", 8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val b = Engine.builder("graft-graph-probe", s"local[$cpus]", cpus)
     confs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -2,8 +2,10 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.plans.logical.Statistics
-import org.apache.spark.sql.classic.Dataset
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.functions.col
 
 /** The one file that touches `private[sql]` API (hence the package): a
   * statistics CAP for checkpointed frames that spawns NO job and NO
@@ -59,6 +61,89 @@ object InternalSnap {
           LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
             l.isStreaming, l.stream)(
             ds.sparkSession, Some(capped), Some(l.constraints)))
+      case _ => df
+    }
+  }
+
+  /** Checkpoint `df` hash-partitioned on `keys` into `n` partitions and
+    * DECLARE that layout on the rebuilt leaf — the piece
+    * `LogicalRDD.fromDataset`'s best-effort capture loses under AQE
+    * (an `AdaptiveSparkPlan`'s partitioning isn't final when the
+    * checkpoint node is built, so every post-checkpoint join re-exchanges
+    * state the loop just placed).
+    *
+    * Safe by construction: the explicit `repartition(n, keys)` is a
+    * `REPARTITION_BY_NUM` shuffle, which AQE never coalesces and skew-join
+    * never splits, so the physical layout IS `HashPartitioning(keys, n)`
+    * when the checkpoint materializes; declaring it merely tells
+    * `EnsureRequirements` the truth. (If the child already satisfies the
+    * partitioning the optimizer may elide the shuffle — also truthful.)
+    * Stats are capped as in [[capOriginStats]].
+    */
+  def snapHashPartitioned(
+      df: DataFrame, keys: Seq[String], n: Int, reliable: Boolean,
+      in: Option[org.apache.spark.sql.SparkSession] = None): DataFrame = {
+    val rp = df.repartition(n, keys.map(col): _*)
+    val ck = (if (reliable) rp.checkpoint() else rp.localCheckpoint())
+      .asInstanceOf[Dataset[Row]]
+    val target = in.map(_.asInstanceOf[SparkSession])
+      .getOrElse(ck.sparkSession)
+    ck.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        val attrs = keys.map(k =>
+          l.output.find(_.name == k).getOrElse(
+            throw new IllegalArgumentException(
+              s"snapHashPartitioned: no output column '$k' in ${l.output}")))
+        val s = l.computeStats()
+        val capped = Statistics(
+          sizeInBytes = s.sizeInBytes.min(Cap),
+          rowCount = s.rowCount.map(_.min(Cap)),
+          attributeStats = s.attributeStats,
+          isRuntime = s.isRuntime)
+        Dataset.ofRows(
+          target,
+          LogicalRDD(l.output, l.rdd, HashPartitioning(attrs, n),
+            l.outputOrdering, l.isStreaming, l.stream)(
+            target, Some(capped), Some(l.constraints)))
+      case other =>
+        throw new IllegalStateException(
+          s"snapHashPartitioned: checkpoint did not produce a LogicalRDD: $other")
+    }
+  }
+
+  /** A cloned session for DRIVER-LOOP bodies (same SparkContext, shared
+    * state, copied conf) with adaptive execution OFF: inside an iterative
+    * superstep the plan shape is fixed and pre-placed by construction
+    * (declared co-partitioning, explicit shuffle-hash hints, one
+    * fixed-count exchange), so per-round AQE buys nothing — no join
+    * strategy to revise, no partition count to coalesce (the loop's
+    * exchanges are REPARTITION-pinned), no skew-split applicable to
+    * checkpoint-scan joins — while costing a re-optimization pass and an
+    * extra stage-job round-trip per materialization. The caller's session
+    * is untouched; re-root the final result with [[reRootSnapped]].
+    */
+  def loopSession(df: DataFrame): org.apache.spark.sql.SparkSession = {
+    val s = df.asInstanceOf[Dataset[Row]].sparkSession.cloneSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  /** Re-root a SNAPPED frame (a bare `LogicalRDD` leaf) into `session`,
+    * preserving partitioning/stats/constraints — hands a loop's final
+    * state back to the caller's session so downstream composition and
+    * actions run under the caller's own configuration.
+    */
+  def reRootSnapped(
+      df: DataFrame, session: org.apache.spark.sql.SparkSession): DataFrame = {
+    val target = session.asInstanceOf[SparkSession]
+    val ds = df.asInstanceOf[Dataset[Row]]
+    ds.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        Dataset.ofRows(
+          target,
+          LogicalRDD(l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(
+            target, Some(l.computeStats()), Some(l.constraints)))
       case _ => df
     }
   }
