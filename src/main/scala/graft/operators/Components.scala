@@ -42,32 +42,42 @@ object Components {
       edges: DataFrame, a: String, b: String, maxIter: Int = 20,
       reliableCheckpoint: Boolean = false, star: Boolean = false): DataFrame = {
     if (star) return starContract(edges, a, b, maxIter, reliableCheckpoint)
-    def snap(df: DataFrame): DataFrame = Iterate.snap(df, reliableCheckpoint)
-    val sym = snap(
+    // State-stationary placement (the r9 Pregel dataflow): the
+    // symmetrized edges live hash-partitioned on the PROBE endpoint
+    // (`dst`), labels on `id`, both layouts DECLARED through the
+    // checkpoint (Iterate.snapKeyed) so every round's neighbor join is an
+    // exchange-free co-partitioned shuffle-hash join and the fold join
+    // leaves the label table in place — the only per-round movement is
+    // the min-label message aggregation.
+    val P = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def snapped(df: DataFrame, keys: Seq[String]): DataFrame =
+      Iterate.snapKeyed(df, keys, P, reliableCheckpoint)
+    val sym = snapped(
       edges.select(col(a).as("src"), col(b).as("dst"))
         .union(edges.select(col(b).as("src"), col(a).as("dst")))
-        .distinct())
-    var labels = snap(
+        .distinct(),
+      Seq("dst"))
+    var labels = snapped(
       sym.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
-    val labelType = labels.schema("label").dataType
+        .withColumn("label", col("id")),
+      Seq("id"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // self rows carry the previous label; neighbor rows carry null, so
-      // after the min-aggregate max(prev) recovers each id's old label
-      // and the changed-count can be observed in the SAME job.
-      val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
-        .select(sym("src").as("id"), col("label"),
-          lit(null).cast(labelType).as("prev"))
+      // min label reachable over one hop; the changed-count is observed
+      // on the fold join's materializing action — no separate probe job.
+      val delivered = sym
+        .join(labels.hint("shuffle_hash"), sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("label").as("msg"))
+        .groupBy("id").agg(min("msg").as("msg"))
+        .hint("shuffle_hash")
       val obs = Observation()
-      val next = snap(
-        labels.withColumn("prev", col("label"))
-          .unionByName(viaNeighbor)
-          .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
-          .observe(obs, sum(when(col("label") =!= col("prev"), 1L)
+      val next = snapped(
+        labels.join(delivered, Seq("id"), "left")
+          .observe(obs, sum(when(col("msg") < col("label"), 1L)
             .otherwise(0L)).as("changed"))
-          .drop("prev"))
+          .select(col("id"), least(col("label"), col("msg")).as("label")),
+        Seq("id"))
       // eager checkpoint above already ran the plan; get() returns the
       // recorded metric without another action (null sum = empty input)
       converged = Option(obs.get("changed")).forall(_ == 0L)
