@@ -168,25 +168,51 @@ final class Pregel private (
     // endpoints needs a second edge copy, GraphX's routing-table trade,
     // which a caller can express by symmetrizing edges and reading src
     // only — see q_graph_cc.)
-    val P = vertices.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sessionP =
+      vertices.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val partKey = if (needSrc || !needDst) "_esrc" else "_edst"
-    // The loop body runs in a cloned session with AQE off: a superstep's
-    // plan is fixed and pre-placed (declared co-partitioning, pinned
-    // exchange count), so per-round adaptive re-planning is pure driver
-    // overhead; the final state is re-rooted into the caller's session.
-    // Cloned once per base session (fresh SessionState init costs a few
-    // hundred ms) and reused by every run.
-    val ls = Pregel.loopSessions.get(vertices.sparkSession)(_ =>
-      org.apache.spark.sql.graft.InternalSnap.loopSession(vertices))
-    val e = Iterate.snapKeyed(
+    // The loop body runs in a cloned session with AQE off and the shuffle
+    // partition count pinned: a superstep's plan is fixed and pre-placed
+    // (declared co-partitioning, pinned exchange count), so per-round
+    // adaptive re-planning is pure driver overhead; the final state is
+    // re-rooted into the caller's session. Clones are cached per (base
+    // session, partition count) — fresh SessionState init costs a few
+    // hundred ms.
+    def sessionAt(p: Int) = Pregel.loopSessions
+      .get(vertices.sparkSession)(_ =>
+        new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.sql.SparkSession]())
+      .computeIfAbsent(p,
+        org.apache.spark.sql.graft.InternalSnap.loopSession(vertices, _))
+    val ls0 = sessionAt(sessionP)
+    var e = Iterate.snapKeyed(
       edges.select(col("src").as("_esrc"), col("dst").as("_edst"),
         struct(col("*")).as("edge")),
-      Seq(partKey), P, reliable, Some(ls))
+      Seq(partKey), sessionP, reliable, Some(ls0))
     var cur = Iterate.snapKeyed(
       stateCols.foldLeft(vertices) {
         case (df, (n, init, _)) => df.withColumn(n, init)
       },
-      Seq("id"), P, reliable, Some(ls))
+      Seq("id"), sessionP, reliable, Some(ls0))
+    // Adaptive LOOP parallelism: per-superstep cost is dominated by task
+    // count when partitions are small (measured: halving 64 trivial tasks
+    // halved the superstep), so size the loop's partition count from the
+    // now-materialized state/edge bytes at ~2 MB per partition — CAPPED
+    // at the session setting, so a real cluster's configured parallelism
+    // is never exceeded and only genuinely small state is consolidated.
+    // Reliable checkpoints persist outside the block manager (bytes
+    // unknown → keep the session setting).
+    val P = {
+      val bytes = math.max(
+        org.apache.spark.sql.graft.InternalSnap.snappedStorageBytes(e),
+        org.apache.spark.sql.graft.InternalSnap.snappedStorageBytes(cur))
+      if (reliable || bytes == 0L) sessionP
+      else math.max(1, math.min(sessionP, ((bytes - 1) / (2L << 20) + 1).toInt))
+    }
+    val ls = if (P == sessionP) ls0 else sessionAt(P)
+    if (P != sessionP) {
+      e = Iterate.snapKeyed(e, Seq(partKey), P, reliable, Some(ls))
+      cur = Iterate.snapKeyed(cur, Seq("id"), P, reliable, Some(ls))
+    }
     var i = 0
     var active = true
     val rounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
@@ -223,7 +249,15 @@ final class Pregel private (
           .observe(obs, sum(when(col(Pregel.MsgCol).isNotNull, 1L).otherwise(0L))
             .as("delivered"))
           .drop(Pregel.MsgCol)
+      val timing = sys.env.get("SPARK_GRAFT_PREGEL_TIMING").contains("1")
+      val tPlan = if (!timing) 0.0 else {
+        val p0 = System.nanoTime()
+        folded.queryExecution.executedPlan // force analyze→optimize→plan
+        (System.nanoTime() - p0) / 1e6
+      }
+      val t1 = System.nanoTime()
       val next = Iterate.snapKeyed(folded, Seq("id"), P, reliable, Some(ls))
+      val tExec = (System.nanoTime() - t1) / 1e6
       // Round-2 plan, recorded per tag (and dumpable via the dev knob):
       // the steady-state shape — exchange-free co-partitioned joins, one
       // frontier shuffle, pruned endpoint states — either holds here or
@@ -235,8 +269,13 @@ final class Pregel private (
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       // the eager checkpoint above already ran the plan; get() returns
       // the recorded metric without another action (null sum = no rows)
+      val t2 = System.nanoTime()
       val nDelivered =
         Option(obs.get("delivered")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (timing)
+        System.err.println(
+          f"[pregel-timing] round ${i + 1}: plan $tPlan%.0f ms  " +
+            f"exec+ckpt $tExec%.0f ms  obs.get ${(System.nanoTime() - t2) / 1e6}%.0f ms")
       active = nDelivered != 0L
       rounds += ((nDelivered, (System.nanoTime() - t0) / 1e9))
       cur = next
@@ -264,9 +303,10 @@ object Pregel {
   val lastRuns =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Double)]]()
 
-  /** One AQE-off loop session per base session, shared by all runs. */
+  /** AQE-off loop sessions per (base session, pinned partition count). */
   private[operators] val loopSessions =
-    new graft.SessionKeyed[org.apache.spark.sql.SparkSession]
+    new graft.SessionKeyed[java.util.concurrent.ConcurrentHashMap[
+      Int, org.apache.spark.sql.SparkSession]]
 
   /** Round-2 (steady-state) executed-plan string of the most recent
     * tagged run — the structural evidence for the superstep contract

@@ -112,20 +112,41 @@ object InternalSnap {
   }
 
   /** A cloned session for DRIVER-LOOP bodies (same SparkContext, shared
-    * state, copied conf) with adaptive execution OFF: inside an iterative
-    * superstep the plan shape is fixed and pre-placed by construction
-    * (declared co-partitioning, explicit shuffle-hash hints, one
-    * fixed-count exchange), so per-round AQE buys nothing — no join
+    * state, copied conf) with adaptive execution OFF and the shuffle
+    * partition count pinned to the loop's chosen parallelism: inside an
+    * iterative superstep the plan shape is fixed and pre-placed by
+    * construction (declared co-partitioning, explicit shuffle-hash hints,
+    * one fixed-count exchange), so per-round AQE buys nothing — no join
     * strategy to revise, no partition count to coalesce (the loop's
     * exchanges are REPARTITION-pinned), no skew-split applicable to
     * checkpoint-scan joins — while costing a re-optimization pass and an
-    * extra stage-job round-trip per materialization. The caller's session
-    * is untouched; re-root the final result with [[reRootSnapped]].
+    * extra stage-job round-trip per materialization. Pinning
+    * `shuffle.partitions` keeps every in-loop exchange aligned with the
+    * declared state layout, so nothing ever re-partitions. The caller's
+    * session is untouched; re-root the final result with
+    * [[reRootSnapped]].
     */
-  def loopSession(df: DataFrame): org.apache.spark.sql.SparkSession = {
+  def loopSession(df: DataFrame, numPartitions: Int): org.apache.spark.sql.SparkSession = {
     val s = df.asInstanceOf[Dataset[Row]].sparkSession.cloneSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", numPartitions.toString)
     s
+  }
+
+  /** Block-manager bytes of a SNAPPED frame's materialized RDD (0 when
+    * unknown — e.g. a reliable checkpoint, which persists to the
+    * checkpoint dir instead). Driver-side metadata only; no job.
+    */
+  def snappedStorageBytes(df: DataFrame): Long = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    ds.queryExecution.analyzed match {
+      case l: LogicalRDD =>
+        ds.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .getOrElse(0L)
+      case _ => 0L
+    }
   }
 
   /** Re-root a SNAPPED frame (a bare `LogicalRDD` leaf) into `session`,
