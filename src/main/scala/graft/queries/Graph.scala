@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -190,5 +191,108 @@ object Graph extends QModule {
             FROM orders)"""),
     bench = true)
 
-  val defs: Seq[QDef] = Seq(qGraphSssp, qGraphCc, qGraphRank)
+  /** Per-vertex triangle counts over the co-purchase graph (parts joined
+    * by appearing in the same order) — the GraphX `TriangleCount`
+    * capability (reference `graphx/.../lib/TriangleCount.scala`), which is
+    * NOT message passing: it is a neighborhood-intersection join, so the
+    * engine expresses it relationally rather than through [[Pregel]].
+    *
+    * Plan (degree orientation, Suri & Vassilvitskii WWW'11): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the higher —
+    * each triangle becomes exactly ONE directed path u→v→w plus its
+    * closing edge u→w, so triangles = path ⋈ edge on the composite (u,w).
+    * Orientation bounds out-degree by O(√m), so the wedge intermediate is
+    * ≤ m^1.5 regardless of skew — the "curse of the last reducer" fix: a
+    * hub vertex of degree D contributes D²/4 wedges unoriented but only
+    * its out-wedges oriented, and all three legs stay equi-joins (vertex
+    * key, then the composite key), never a nested loop.
+    *
+    * The oracle closes each triangle by PART-KEY order (a<b<c canonical
+    * triple join) — no degrees anywhere — so the hash-compare proves the
+    * orientation trick conserves the triangle set, not just that two
+    * copies of one plan agree.
+    */
+  val qGraphTriangles = QDef(
+    "q_graph_triangles",
+    (s, d) => {
+      // The oriented edge list is the triangle INDEX — O(m) rows of two
+      // BIGINTs, built once per (session, dir) and persisted (the Dedup
+      // signature-table pattern): without it the three self-join legs
+      // would each replay the lineitem self-join + distinct.
+      val or = graft.SessionCache.memo(s, s"tri-oriented:$d") {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        val co = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pk2"))
+        val und = li
+          .join(co, col("l_orderkey") === col("ok2") && col("l_partkey") < col("pk2"))
+          .select(col("l_partkey").as("a"), col("pk2").as("b")).distinct()
+          .persist()
+        val sym = und.select(col("a").as("u"), col("b").as("v"))
+          .union(und.select(col("b").as("u"), col("a").as("v")))
+        // One row per VERTEX — tiny at any scale (≤ |parts|); broadcast
+        // both orientation lookups so orienting never shuffles the edges.
+        val deg = sym.groupBy("u").agg(count(lit(1)).as("dg"))
+        val oriented = sym
+          .join(broadcast(deg.select(col("u").as("du_id"), col("dg").as("du"))),
+            col("u") === col("du_id"))
+          .join(broadcast(deg.select(col("u").as("dv_id"), col("dg").as("dv"))),
+            col("v") === col("dv_id"))
+          .where(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")))
+          .select("u", "v").persist()
+        oriented.count() // materialize before releasing the edge scratch
+        und.unpersist()
+        oriented
+      }
+      // Probe legs BROADCAST the index: the oriented edge list is O(m)
+      // rows of two BIGINTs (~16 B/edge — 1.2 M edges ≈ 19 MB at sf0.1),
+      // far smaller than the wedge intermediate (Σ in·out ≈ 49 M rows
+      // here), so the scale-correct shape is to stream e1 through two
+      // broadcast hash tables in ONE codegen pipeline: wedges are never
+      // materialized, sorted, or shuffled. Without the hints Spark picks
+      // SMJ off the cached-size stat and shuffles all 49 M wedges on the
+      // composite key (measured 14 s steady vs ~1.6 s broadcast, sf0.1).
+      // The closing edge set is keyed by the PACKED pair u·2³²|v (part
+      // keys are < 2³¹): a single-BIGINT equi-join builds a
+      // LongHashedRelation, whose primitive probes are ~3× faster than
+      // the UnsafeRow composite-key relation (measured 5.5 s → 1.6 s for
+      // the same 49 M probes).
+      //
+      // The hint is SIZE-GATED on the materialized cache stat (exact
+      // after persist+count, a driver-side read — no job): past 256 MB
+      // (~1.7·10⁷ edges, beyond any broadcastable regime) the same
+      // equi-joins run shuffled on (vertex, then packed-pair) keys —
+      // never a nested loop — which is the posture a 100 TB corpus'
+      // edge list needs.
+      val hint: DataFrame => DataFrame =
+        if (or.queryExecution.optimizedPlan.stats.sizeInBytes <= (256L << 20))
+          broadcast _
+        else identity
+      val e1 = or.select(col("u").as("x"), col("v").as("y"))
+      val e2 = or.select(col("u").as("y2"), col("v").as("z"))
+      val e3 = or.select(
+        shiftleft(col("u"), 32).bitwiseOR(col("v")).as("uv"))
+      e1.join(hint(e2), col("y") === col("y2"))
+        .join(hint(e3),
+          shiftleft(col("x"), 32).bitwiseOR(col("z")) === col("uv"))
+        .select(explode(array(col("x"), col("y"), col("z"))).as("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("tri_cnt"))
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+                 FROM lineitem l1 JOIN lineitem l2
+                   ON l1.l_orderkey = l2.l_orderkey
+                  AND l1.l_partkey < l2.l_partkey),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT v AS l_partkey, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+      FROM (SELECT x AS v FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY v"""),
+    bench = true)
+
+  val defs: Seq[QDef] = Seq(qGraphSssp, qGraphCc, qGraphRank, qGraphTriangles)
 }

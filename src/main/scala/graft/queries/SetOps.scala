@@ -217,6 +217,44 @@ object SetOps extends QModule {
              ${graft.Exact.dsumSql("o_totalprice", 2)} AS total
       FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus"""))
 
+  /** Z-order clustered layout + box-predicate read ([[graft.operators
+    * .ZOrder]] — the lakehouse OPTIMIZE ZORDER capability): lineitem is
+    * rewritten into 64 files each covering a small (l_partkey, l_suppkey)
+    * hyper-rectangle, then a 2-D box predicate reads it back and
+    * aggregates; the oracle runs the same box aggregate over the ORIGINAL
+    * table, proving the layout rewrite conserves every row. The scan-side
+    * payoff (most row groups pruned by parquet stats on BOTH box axes,
+    * where a 1-D sort prunes only its leading column) is metric-asserted
+    * in ZOrderSpec; at 100 TB that pruning is the difference between
+    * reading a handful of files and scanning the table for every
+    * multi-dimensional slice query.
+    */
+  val qSrcZorder = QDef(
+    "q_src_zorder",
+    (s, d) => {
+      val clustered = graft.SessionCache.memo(s, s"zorder:$d") {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-" +
+          s"${ProcessHandle.current().pid()}-${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val li = t(s, d, "lineitem").select(
+          "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        graft.operators.ZOrder
+          .cluster(li, Seq("l_partkey", "l_suppkey"), files = 64)
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+      }
+      clustered
+        .filter(col("l_partkey").between(1, 200) && col("l_suppkey").between(1, 10))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.dsum(col("l_extendedprice"), 2).as("revenue"))
+    },
+    Some(s"""
+      SELECT l_suppkey, COUNT(*) AS n,
+             ${graft.Exact.dsumSql("l_extendedprice", 2)} AS revenue
+      FROM lineitem
+      WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 1 AND 10
+      GROUP BY l_suppkey"""))
+
   /** Text source round-trip (SURVEY §2.1 text row): one line per
     * document (fixture text is single-line), read back as the text
     * source's single `value` column; line count and char volume must
@@ -237,5 +275,5 @@ object SetOps extends QModule {
   val defs: Seq[QDef] = Seq(
     qSetUnion, qSetUnionAll, qSetIntersect, qSetExcept, qSetExceptAll,
     qSetIntersectAll, qSetDistinct, qSortTopk, qSortOffset, qSetUnionByName,
-    qSrcCsv, qSrcJson, qSrcOrc, qSrcText, qSrcPartitioned, qSrcXml)
+    qSrcCsv, qSrcJson, qSrcOrc, qSrcText, qSrcPartitioned, qSrcXml, qSrcZorder)
 }
