@@ -641,9 +641,96 @@ object Dedup extends QModule {
                    JOIN sz ON sz.doc_id = i.doc_id
       WHERE i.inter / (ez.ensh + sz.nsh - i.inter) >= 0.5"""))
 
+  /** Incremental-ingestion near-dup admission — the shape a 100 TB corpus
+    * actually runs day to day: nobody re-deduplicates the whole corpus per
+    * increment. The newest ~10% of documents (doc_id above the 0.9·max
+    * threshold) arrive as a BATCH; each batch doc is admitted only if no
+    * OLDER document (corpus or earlier within the same batch — one uniform
+    * `old_id < new_id` ordering covers both) is a verified near-duplicate.
+    *
+    * Scale decisions: (1) signatures come from the session-memoized band
+    * index (`dedup-bands:$d`) — computed once at ingest and ACCUMULATED,
+    * never re-shingled per increment; (2) the probe is batch-bands ⋈
+    * index-bands on (band, bucket), so candidate generation is
+    * O(batch · bands), independent of corpus size; (3) the Jaccard verify
+    * explodes shingles only for candidate doc_ids (the q_dedup_fuzzy_decontam
+    * pattern) — O(candidates), not a corpus pass. Output is the admission
+    * decision for every batch doc: verified-duplicate partner count and a
+    * keep flag.
+    */
+  val qDedupIncremental = QDef(
+    "q_dedup_incremental",
+    (s, d) => {
+      val bd = graft.SessionCache.memo(s, s"dedup-bands:$d")(bands(s, d).persist())
+      // Threshold = one broadcast 1-row aggregate (the ZOrder bounds
+      // pattern) — no driver-side collect, no magic constant that breaks
+      // at another SF.
+      val thr = t(s, d, "documents")
+        .agg(floor(max(col("doc_id")) * 0.9).cast("long").as("thr"))
+      val withThr = bd.crossJoin(broadcast(thr))
+      val idx = withThr
+        .select(col("doc_id").as("old_id"), col("band"), col("bucket"))
+      val probe = withThr.where(col("doc_id") > col("thr"))
+        .select(col("doc_id").as("new_id"),
+          col("band").as("band2"), col("bucket").as("bucket2"))
+      val cand = idx.join(probe,
+          col("band") === col("band2") && col("bucket") === col("bucket2") &&
+            col("old_id") < col("new_id"))
+        .select("old_id", "new_id").distinct()
+      // Verify bounded to candidates: restrict documents to candidate ids
+      // BEFORE the shingle explode (broadcast semi-join under Generate).
+      val candDocs = cand.select(col("old_id").as("doc_id"))
+        .union(cand.select(col("new_id").as("doc_id"))).distinct()
+      val sdist = shinglesOf(
+        t(s, d, "documents").join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      ).distinct()
+      val sz = sdist.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val sa = sdist.select(col("doc_id").as("sa_id"), col("s").as("sa_s"))
+      val sb = sdist.select(col("doc_id").as("sb_id"), col("s").as("sb_s"))
+      val inter = cand
+        .join(sa, col("old_id") === col("sa_id"))
+        .join(sb, col("new_id") === col("sb_id") && col("sa_s") === col("sb_s"))
+        .groupBy("old_id", "new_id").agg(count(lit(1)).as("inter"))
+      val za = sz.select(col("doc_id").as("za_id"), col("nsh").as("na"))
+      val zb = sz.select(col("doc_id").as("zb_id"), col("nsh").as("nb"))
+      val verified = inter
+        .join(za, col("old_id") === col("za_id"))
+        .join(zb, col("new_id") === col("zb_id"))
+        .where(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
+        .groupBy("new_id").agg(count(lit(1)).as("vd"))
+      t(s, d, "documents").crossJoin(broadcast(thr))
+        .where(col("doc_id") > col("thr"))
+        .join(verified, col("doc_id") === col("new_id"), "left")
+        .select(col("doc_id"), coalesce(col("vd"), lit(0L)).as("n_dups"),
+          col("vd").isNull.as("keep"))
+    },
+    Some(s"""
+      WITH $shinglesSqlDuck, $minhashSqlDuck, $bandsSqlDuck,
+      thr AS (SELECT CAST(FLOOR(0.9 * MAX(doc_id)) AS BIGINT) AS t FROM documents),
+      icand AS (SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id
+                FROM bands o JOIN bands n
+                  ON o.band = n.band AND o.bucket = n.bucket
+                 AND o.doc_id < n.doc_id
+                WHERE n.doc_id > (SELECT t FROM thr)),
+      sdist AS (SELECT DISTINCT doc_id, s FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS nsh FROM sdist GROUP BY doc_id),
+      iinter AS (SELECT c.old_id, c.new_id, COUNT(*) AS inter
+                 FROM icand c
+                 JOIN sdist sa ON sa.doc_id = c.old_id
+                 JOIN sdist sb ON sb.doc_id = c.new_id AND sb.s = sa.s
+                 GROUP BY c.old_id, c.new_id),
+      iver AS (SELECT i.new_id, COUNT(*) AS vd
+               FROM iinter i JOIN sz za ON za.doc_id = i.old_id
+                             JOIN sz zb ON zb.doc_id = i.new_id
+               WHERE i.inter / (za.nsh + zb.nsh - i.inter) >= 0.5
+               GROUP BY i.new_id)
+      SELECT d.doc_id, COALESCE(v.vd, 0) AS n_dups, v.vd IS NULL AS keep
+      FROM documents d LEFT JOIN iver v ON v.new_id = d.doc_id
+      WHERE d.doc_id > (SELECT t FROM thr)"""))
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash,
     qDedupCluster, qDedupClusterStar, qDedupCanonical,
     qDedupSubstr, qDedupSubstrSpans, qDedupCutSpans, qDedupCuratePipeline,
-    qDedupFuzzyDecontam)
+    qDedupFuzzyDecontam, qDedupIncremental)
 }

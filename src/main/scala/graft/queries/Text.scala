@@ -521,10 +521,61 @@ object Text extends QModule {
     Some(dsirSql("duck")),
     bench = true)
 
+  /** BM25 relevance scoring against a fixed 3-term query (Robertson-style
+    * with the Lucene-variant IDF ln(1 + (N−df+0.5)/(df+0.5)); k1 = 1.2,
+    * b = 0.75) — retrieval-based topic/quality filtering, the standard
+    * "keep documents relevant to a target domain" curation op.
+    *
+    * Scale shape: ONE corpus pass computes per-doc term frequencies with
+    * array primitives (`filter(w, …)` — no explode, no UDF, stays in
+    * whole-stage codegen); corpus statistics (N, Σdl, per-term df) are a
+    * broadcast 1-row aggregate; the score is a FIXED-ORDER arithmetic
+    * expression over exact integers (per-term components added left to
+    * right, every constant cast to DOUBLE in both dialects). IEEE-754
+    * pins every +,·,/ bit-exactly, but `ln` is only faithfully rounded
+    * and java.lang.Math.log and libm disagree in the last ulp — so the
+    * emitted (and ordered-by) score is rounded to 6 decimals, which both
+    * engines compute identically away from rounding-boundary values.
+    */
+  private def bm25Sql(dialect: String): String = {
+    val (len_, filter_, split_) = dialect match {
+      case "spark" => ("size", "filter", "split")
+      case _       => ("len", "list_filter", "string_split")
+    }
+    val terms = Seq("spark", "query", "join")
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST($len_($filter_(w, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val comps = terms.indices.map { i =>
+      s"(ln(${dbl("1")} + (n - df$i + ${dbl("0.5")}) / (df$i + ${dbl("0.5")})) " +
+        s"* (tf$i * ${dbl("2.2")}) " +
+        s"/ (tf$i + ${dbl("1.2")} * (${dbl("0.25")} + ${dbl("0.75")} " +
+        s"* (${dbl("dl * n")} / sumdl))))"
+    }.mkString(" + ")
+    s"""
+      WITH docs AS (SELECT doc_id, $split_(text, ' ') AS w FROM documents),
+      tf AS (SELECT doc_id, CAST($len_(w) AS BIGINT) AS dl, $tfCols FROM docs),
+      stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(dl) AS BIGINT) AS sumdl, $dfCols
+                FROM tf)
+      SELECT doc_id, dl, ROUND($comps, 6) AS bm25
+      FROM tf CROSS JOIN stats
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20"""
+  }
+  val qTextBm25 = QDef(
+    "q_text_bm25",
+    sqlQ(bm25Sql("spark")),
+    Some(bm25Sql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
     qTextRepetition, qTextNgramFreq, qTextChunks, qTextPack, qTextDecontam,
     qTextRedact, qTextLmScore, qTextShuffle, qTextDedupLines, qTextTfidf,
-    qTextDsir)
+    qTextDsir, qTextBm25)
 }
 
