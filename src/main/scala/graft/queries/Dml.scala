@@ -149,5 +149,48 @@ object Dml extends QModule {
         UNION ALL SELECT 3, o_totalprice FROM v2) s
       GROUP BY v"""))
 
-  def defs: Seq[QDef] = Seq(qDmlDelete, qDmlUpdate, qDmlMerge, qDmlTimetravel)
+  // ---- Change data feed (version-diff CDC) --------------------------------
+  // The lakehouse CDF surface (Delta's table_changes / Iceberg's
+  // changelog): every changed row between two committed versions, tagged
+  // insert/delete/update with old and new values. Computed as a snapshot
+  // DIFF — a full outer join of VERSION AS OF 0 and latest on the primary
+  // key, classified by side-nullness and value inequality — which is how
+  // a format computes CDF when no change files were stored; at 100 TB the
+  // join is key-partitioned on both sides (two scans + one co-partitioned
+  // shuffle), never a row-by-row log replay. The oracle recomputes both
+  // versions relationally and mirrors the same diff, so a hash match
+  // proves the version chain preserves exactly the row images CDC needs.
+  private val cdfDiff = """
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                  WHEN b.o_orderkey IS NULL THEN 'delete'
+                  ELSE 'update' END AS change_type,
+             a.o_totalprice AS old_price, b.o_totalprice AS new_price
+      FROM va a FULL OUTER JOIN vb b ON a.o_orderkey = b.o_orderkey
+      WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+         OR a.o_totalprice <> b.o_totalprice"""
+  val qDmlCdf = QDef(
+    "q_dml_cdf",
+    dmlQ(
+      Seq(
+        "DROP TABLE IF EXISTS graft_dml.dml_cdf",
+        """CREATE TABLE graft_dml.dml_cdf AS
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+        "DELETE FROM graft_dml.dml_cdf WHERE o_orderstatus = 'O'",
+        """UPDATE graft_dml.dml_cdf SET o_totalprice = o_totalprice * 2
+           WHERE o_orderstatus = 'F'"""),
+      s"""
+      WITH va AS (SELECT * FROM graft_dml.dml_cdf VERSION AS OF 0),
+      vb AS (SELECT * FROM graft_dml.dml_cdf)
+      $cdfDiff"""),
+    Some(s"""
+      WITH va AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      vb AS (SELECT o_orderkey, o_orderstatus,
+                    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                         ELSE o_totalprice END AS o_totalprice
+             FROM va WHERE NOT (o_orderstatus = 'O'))
+      $cdfDiff"""))
+
+  def defs: Seq[QDef] = Seq(qDmlDelete, qDmlUpdate, qDmlMerge, qDmlTimetravel,
+    qDmlCdf)
 }
