@@ -1052,4 +1052,21 @@ class OperatorSpec extends SparkSpecBase {
       l.contains("FileScan parquet") && l.contains("lineitem"))
     assert(factScans61 == 2, s"Q61 expected two branch scans, got $factScans61:\n$s61")
   }
+
+  test("q_dedup_incremental probes the cached band index and bounds the verify to candidates") {
+    // The incremental-ingestion scale contract: candidate generation reads
+    // the ACCUMULATED signature index from cache (never re-shingles the
+    // corpus per increment), and the Jaccard verify explodes shingles only
+    // for candidate doc_ids (a semi-join below the Generate). The only
+    // legal nested-loop shapes are the 1-row threshold broadcasts.
+    val df = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"incremental dedup degraded to a cartesian:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"band index not served from the session-memoized cache:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"verify-side shingle explode not candidate-bounded:\n$p")
+  }
 }
