@@ -726,7 +726,8 @@ object Dedup extends QModule {
                GROUP BY i.new_id)
       SELECT d.doc_id, COALESCE(v.vd, 0) AS n_dups, v.vd IS NULL AS keep
       FROM documents d LEFT JOIN iver v ON v.new_id = d.doc_id
-      WHERE d.doc_id > (SELECT t FROM thr)"""))
+      WHERE d.doc_id > (SELECT t FROM thr)"""),
+    bench = true)
 
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash,
