@@ -24,12 +24,22 @@ object ScaleUp {
     val src = args(0)
     val out = args(1)
     val k = args(2).toInt
+    // Optional 4th arg "shiftParts": also shift l_partkey per replica, so
+    // the co-purchase GRAPH (distinct part pairs sharing an order) grows
+    // k× instead of collapsing to the original edge set under distinct —
+    // the fixture the graph-growth probes need. Default replication keeps
+    // parts fixed on purpose (dimension fan-in grows like TPC-H at larger
+    // SF), so this is a separate, clearly-labeled output; queries joining
+    // the part DIMENSION are out of contract on a shifted fixture.
+    val shiftParts = args.length > 3 && args(3) == "shiftParts"
     val spark = graft.Engine.builder("graft-scaleup", "local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       Files.createDirectories(Paths.get(out))
       val maxKey = spark.read.parquet(s"$src/orders.parquet")
         .agg(max("o_orderkey")).head.getLong(0) + 1
+      val maxPart = spark.read.parquet(s"$src/lineitem.parquet")
+        .agg(max("l_partkey")).head.getLong(0) + 1
       val reps = explode(sequence(lit(0), lit(k - 1))).as("__rep")
 
       spark.read.parquet(s"$src/orders.parquet")
@@ -39,9 +49,12 @@ object ScaleUp {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-      spark.read.parquet(s"$src/lineitem.parquet")
+      val liRep = spark.read.parquet(s"$src/lineitem.parquet")
         .withColumn("__rep", reps)
         .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * maxKey)
+      (if (shiftParts)
+         liRep.withColumn("l_partkey", col("l_partkey") + col("__rep") * maxPart)
+       else liRep)
         .drop("__rep")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
