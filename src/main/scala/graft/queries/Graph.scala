@@ -222,19 +222,31 @@ object Graph extends QModule {
       val or = graft.SessionCache.memo(s, s"tri-oriented:$d") {
         val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
         val co = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pk2"))
-        val und = li
+        // SHUFFLE_HASH, not sort-merge: the self-join's output feeds a
+        // hash distinct, so the sort order SMJ buys is pure waste — and
+        // its cost at scale is not just CPU: the ×30 growth fixture
+        // OOM'd an 8 g driver in the SMJ merge phase (every spill file
+        // holds a read-ahead buffer; two 540 M-row sorted sides × 32
+        // tasks of spill readers exhausted the heap). The hash build
+        // side is one partition of lineitem's (orderkey, partkey) pairs
+        // — bounded by partitioning, no sort, no spill-merge fan-in.
+        val und = li.hint("shuffle_hash")
           .join(co, col("l_orderkey") === col("ok2") && col("l_partkey") < col("pk2"))
           .select(col("l_partkey").as("a"), col("pk2").as("b")).distinct()
           .persist()
         val sym = und.select(col("a").as("u"), col("b").as("v"))
           .union(und.select(col("b").as("u"), col("a").as("v")))
-        // One row per VERTEX — tiny at any scale (≤ |parts|); broadcast
-        // both orientation lookups so orienting never shuffles the edges.
+        // One row per VERTEX. NOT hint-broadcast: "vertices are tiny" is
+        // a fixture truth, not a scale truth (the ×30 growth fixture has
+        // 6 M vertices ≈ 0.5 GB hashed ×2 legs; a real corpus has
+        // billions). AQE sees the runtime size and broadcasts exactly
+        // when it actually fits — sf0.1's 60 k-row degree table still
+        // plans broadcast, measured identical.
         val deg = sym.groupBy("u").agg(count(lit(1)).as("dg"))
         val oriented = sym
-          .join(broadcast(deg.select(col("u").as("du_id"), col("dg").as("du"))),
+          .join(deg.select(col("u").as("du_id"), col("dg").as("du")),
             col("u") === col("du_id"))
-          .join(broadcast(deg.select(col("u").as("dv_id"), col("dg").as("dv"))),
+          .join(deg.select(col("u").as("dv_id"), col("dg").as("dv")),
             col("v") === col("dv_id"))
           .where(col("du") < col("dv") ||
             (col("du") === col("dv") && col("u") < col("v")))
@@ -257,14 +269,25 @@ object Graph extends QModule {
       // the UnsafeRow composite-key relation (measured 5.5 s → 1.6 s for
       // the same 49 M probes).
       //
-      // The hint is SIZE-GATED on the materialized cache stat (exact
-      // after persist+count, a driver-side read — no job): past 256 MB
-      // (~1.7·10⁷ edges, beyond any broadcastable regime) the same
+      // The hint is SIZE-GATED on edge COUNT, not bytes: what the gate
+      // must bound is the HASHED relation's heap (~48 B/edge — key,
+      // UnsafeRow, open-addressing slack — and BOTH legs build one),
+      // while the cache stat is columnar-COMPRESSED bytes (~8 B/edge),
+      // a 6× optimistic proxy. Measured, not hypothesized: a 36 M-edge
+      // index (×30 graph-growth fixture) passed the original 256 MB byte
+      // gate and OOM'd an 8 g driver building ~2 GB per leg; a 12 M-edge
+      // index (×10-shifted) broadcasts fine (16.5 s / 490 M wedge
+      // probes). The gate sits at 16 M edges — measured-good regime in,
+      // measured-fatal regime out; rowCount is EXACT and free (the
+      // materialized InMemoryRelation carries it after the build-time
+      // count(), a driver-side read — no job). Past the gate the same
       // equi-joins run shuffled on (vertex, then packed-pair) keys —
       // never a nested loop — which is the posture a 100 TB corpus'
-      // edge list needs.
+      // edge list needs anyway.
+      val stats = or.queryExecution.optimizedPlan.stats
       val hint: DataFrame => DataFrame =
-        if (or.queryExecution.optimizedPlan.stats.sizeInBytes <= (256L << 20))
+        if (stats.rowCount.map(_ <= BigInt(16L << 20))
+              .getOrElse(stats.sizeInBytes <= (128L << 20)))
           broadcast _
         else identity
       val e1 = or.select(col("u").as("x"), col("v").as("y"))

@@ -1053,6 +1053,22 @@ class OperatorSpec extends SparkSpecBase {
     assert(factScans61 == 2, s"Q61 expected two branch scans, got $factScans61:\n$s61")
   }
 
+  test("q_graph_triangles probes broadcast hash legs under the gate, never a cartesian") {
+    // The wedge pipeline contract: below the 16 M-edge gate both probe
+    // legs are broadcast hash joins (wedges stream through ONE codegen
+    // pipeline, never materialized or shuffled), and no leg may ever
+    // degrade to a cartesian/nested-loop — the two shapes that kill a
+    // 100x scale-up. Above the gate the same joins run shuffled (the
+    // x30 growth fixture exercises that path, BASELINE.md).
+    val df = SparkEntry.queries("q_graph_triangles")(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"triangle probe degraded to a non-equi join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"under-gate probe lost its broadcast hash legs:\n$p")
+  }
+
   test("q_dedup_incremental probes the cached band index and bounds the verify to candidates") {
     // The incremental-ingestion scale contract: candidate generation reads
     // the ACCUMULATED signature index from cache (never re-shingles the
