@@ -554,6 +554,18 @@ class OperatorSpec extends SparkSpecBase {
     val s1 = df.stat.sampleBy("o_orderstatus", fr, 7L).count()
     val s2 = df.stat.sampleBy("o_orderstatus", fr, 7L).count()
     assert(s1 == s2 && s1 > 0)
+    // The SQL TABLESAMPLE surface parses to the same Sample operator and
+    // is seed-reproducible too (both percent and row-count forms).
+    Tables.register(spark, sf)
+    val t1 = spark.sql(
+      "SELECT o_orderkey FROM orders TABLESAMPLE (30 PERCENT) REPEATABLE (42)")
+    assert(t1.queryExecution.optimizedPlan.toString.contains("Sample"),
+      "TABLESAMPLE must plan a Sample operator")
+    val t2 = spark.sql(
+      "SELECT o_orderkey FROM orders TABLESAMPLE (30 PERCENT) REPEATABLE (42)")
+    assert(t1.collect().map(_.getLong(0)).toSet ==
+      t2.collect().map(_.getLong(0)).toSet)
+    assert(spark.sql("SELECT * FROM orders TABLESAMPLE (50 ROWS)").count() == 50)
   }
 
   test("all three aggregate exec variants plan as expected") {
