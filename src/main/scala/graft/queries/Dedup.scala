@@ -52,8 +52,8 @@ object Dedup extends QModule {
 
   // ---------------------------------------------------------------- MinHash
 
-  private val H = 16 // minhash functions
-  private val BANDS = 4 // 4 bands x 4 rows
+  private[graft] val H = 16 // minhash functions
+  private[graft] val BANDS = 4 // 4 bands x 4 rows
 
   /** doc_id, s — one row per 3-word shingle.
     *
@@ -63,7 +63,7 @@ object Dedup extends QModule {
     * i -> concat_ws(...))` idiom ran an interpreted lambda per shingle and
     * allocated the whole shingle array per document before exploding it.
     */
-  private def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
@@ -92,10 +92,10 @@ object Dedup extends QModule {
     * var-width and fall back to SortAggregate (a per-partition sort of
     * the full shingle stream, the wrong plan at 100 TB).
     */
-  private val P = 2147483647L // 2^31 - 1
-  private def bj(j: Int): Long = j * 12345L + 7
+  private[graft] val P = 2147483647L // 2^31 - 1
+  private[graft] def bj(j: Int): Long = j * 12345L + 7
 
-  private def minhashOf(s: SparkSession, sh: DataFrame): DataFrame = {
+  private[graft] def minhashOf(s: SparkSession, sh: DataFrame): DataFrame = {
     graft.Tables.ensureFunctions(s)
     // md5_long = digest-direct value of the first 15 md5 hex digits (the
     // native expression; same value as conv(substring(md5(s),1,15),16,10)
@@ -120,7 +120,7 @@ object Dedup extends QModule {
   }
 
   /** doc_id, band, bucket. */
-  private def bandsOf(mh: DataFrame): DataFrame = {
+  private[graft] def bandsOf(mh: DataFrame): DataFrame = {
     val entries = (0 until BANDS).map { b =>
       val cols = (0 until H / BANDS).map(k => s"mh${b * (H / BANDS) + k}").mkString(", ")
       s"$b, md5(concat_ws('|', $cols))"
