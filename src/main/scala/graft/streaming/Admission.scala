@@ -30,7 +30,8 @@ import graft.queries.Dedup
   * still blocks the next copy, matching the batch operator's "any OLDER
   * doc" partner rule.
   */
-class Admission(spark: SparkSession) {
+class Admission(spark: SparkSession,
+    sink: DataFrame => Unit) {
 
   import spark.implicits._
 
@@ -40,10 +41,6 @@ class Admission(spark: SparkSession) {
   /** Accumulated distinct shingles: doc_id, s. */
   @volatile private var store: DataFrame =
     Seq.empty[(Long, String)].toDF("doc_id", "s")
-  /** Admission decisions in arrival order: (doc_id, n_dups, keep). */
-  private val decided = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
-
-  def decisions: Seq[(Long, Long, Boolean)] = decided.synchronized(decided.toSeq)
 
   /** Process one micro-batch of (doc_id, text). Call from foreachBatch. */
   def step(batch: DataFrame, batchId: Long): Unit = this.synchronized {
@@ -85,15 +82,13 @@ class Admission(spark: SparkSession) {
       .where(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
       .groupBy("new_id").agg(count(lit(1)).as("vd"))
 
-    val out = docs
+    // The admission verdicts for this batch go to the caller-provided
+    // sink (a table append in production; the specs collect) — the
+    // operator itself never pulls rows to the driver.
+    sink(docs
       .join(verified, col("doc_id") === col("new_id"), "left")
       .select(col("doc_id"), coalesce(col("vd"), lit(0L)).as("n_dups"),
-        col("vd").isNull.as("keep"))
-      .collect() // micro-batch-sized, the foreachBatch sink write
-    decided.synchronized {
-      decided ++= out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-        .sortBy(_._1)
-    }
+        col("vd").isNull.as("keep")))
 
     // Grow the stores; release the previous generation (Iterate pattern).
     val (oldIndex, oldStore) = (index, store)

@@ -25,7 +25,9 @@ object AdmissionProbe {
       val docs = Tables.load(spark, d, "documents")
         .select("doc_id", "text").collect()
         .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
-      val adm = new Admission(spark)
+      val flagged = new java.util.concurrent.atomic.AtomicLong
+      val adm = new Admission(spark,
+        df => flagged.addAndGet(df.where(!org.apache.spark.sql.functions.col("keep")).count()))
       val input = MemoryStream[(Long, String)]
       val q = input.toDF().toDF("doc_id", "text")
         .writeStream.outputMode("append")
@@ -43,7 +45,7 @@ object AdmissionProbe {
       }
       val total = (System.nanoTime() - t0) / 1e9
       println(f"total: ${docs.size} docs in $total%.1fs = ${docs.size / total}%.0f docs/s; " +
-        s"dups flagged: ${adm.decisions.count(!_._3)}")
+        s"dups flagged: ${flagged.get()}")
       q.stop(); adm.close()
     } finally spark.stop()
   }

@@ -63,8 +63,15 @@ class AdmissionSpec extends SparkSpecBase {
       (id, nd.toLong, nd == 0)
     }
 
-    // Stream the same docs in 4 uneven micro-batches.
-    val adm = new Admission(spark)
+    // Stream the same docs in 4 uneven micro-batches. The sink collects
+    // decisions driver-side (a test concern — production appends a table).
+    def collector(buf: scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)])
+        : org.apache.spark.sql.DataFrame => Unit =
+      df => buf.synchronized {
+        buf ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val adm = new Admission(spark, collector(got))
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val q = input.toDF().toDF("doc_id", "text")
@@ -79,10 +86,10 @@ class AdmissionSpec extends SparkSpecBase {
         q.processAllAvailable()
         from = to
       }
-      assert(adm.decisions.size == docs.size, "every doc must get a decision")
-      assert(adm.decisions.sortBy(_._1) == expected,
+      assert(got.size == docs.size, "every doc must get a decision")
+      assert(got.sortBy(_._1).toSeq == expected,
         s"admission diverged from the independent reference; first diffs: " +
-          adm.decisions.sortBy(_._1).zip(expected).filter(p => p._1 != p._2).take(5))
+          got.sortBy(_._1).zip(expected).filter(p => p._1 != p._2).take(5))
     } finally {
       q.stop(); adm.close()
     }
@@ -90,7 +97,8 @@ class AdmissionSpec extends SparkSpecBase {
     // Batch-boundary invariance: a completely different cut of the same
     // stream must produce identical decisions (drip the head one doc per
     // micro-batch, then the whole tail at once).
-    val adm2 = new Admission(spark)
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val adm2 = new Admission(spark, collector(got2))
     val input2 = MemoryStream[(Long, String)]
     val q2 = input2.toDF().toDF("doc_id", "text")
       .writeStream.outputMode("append")
@@ -102,7 +110,7 @@ class AdmissionSpec extends SparkSpecBase {
       }
       input2.addData(docs.drop(math.min(3, docs.length)))
       q2.processAllAvailable()
-      assert(adm2.decisions.sortBy(_._1) == expected,
+      assert(got2.sortBy(_._1).toSeq == expected,
         "decisions depend on micro-batch boundaries")
     } finally {
       q2.stop(); adm2.close()
