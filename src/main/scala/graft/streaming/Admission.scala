@@ -16,31 +16,62 @@ import graft.queries.Dedup
   * Why foreachBatch and not a pure streaming plan: the verify stage is a
   * multi-join aggregate against an index that must GROW with the stream —
   * exactly the "arbitrary batch logic per micro-batch" seam foreachBatch
-  * exists for. The band index and shingle store accumulate across batches
-  * (persisted, previous copy released per step — the `Iterate` pattern);
-  * in production both are lakehouse tables (append per batch) and the
-  * plumbing here is unchanged.
+  * exists for.
+  *
+  * Store design — APPEND-ONLY deltas, never a rebuild: each micro-batch
+  * persists ONLY its own band/shingle frames (O(batch) work and memory
+  * per step) and the accumulated index/store are LAZY unions of those
+  * immutable deltas — the lakehouse append discipline, in block-manager
+  * form. Nothing corpus-sized is re-materialized per batch (the round-9
+  * version re-persisted the full accumulated store every step — an
+  * O(corpus)/batch term this design removes). The union view's logical
+  * plan grows one leaf per batch, so every `compactEvery` batches the
+  * deltas are compacted into a single lineage-free base via eager
+  * `localCheckpoint` — plan size and cache-recompute depth stay bounded
+  * by `compactEvery` regardless of stream lifetime, and the compaction's
+  * O(corpus) cost amortizes to O(corpus/compactEvery) per batch. On a
+  * real cluster the same two stores are lakehouse APPEND tables (the
+  * engine's `sources/DmlCatalog` supports exactly this from foreachBatch —
+  * `StreamingDmlSpec`), which replaces localCheckpoint compaction with
+  * the table format's own file compaction; the probe/verify plans are
+  * unchanged either way.
   *
   * Scale posture (the q_dedup_incremental audit, unchanged): candidate
   * generation is batch-bands ⋈ accumulated-index on (band, bucket) —
-  * O(batch · bands), independent of corpus size; the verify explodes
-  * shingles of candidate docs only. State never holds text: the stores
-  * carry digests (16 B band rows) and shingle strings of one corpus pass.
-  * ALL batch docs enter the index (admitted or not) — a rejected copy
-  * still blocks the next copy, matching the batch operator's "any OLDER
-  * doc" partner rule.
+  * O(batch · bands) candidates, independent of corpus size; the verify
+  * explodes shingles of candidate docs only. State never holds text: the
+  * stores carry digests (16 B band rows) and shingle strings of one
+  * corpus pass. ALL batch docs enter the index (admitted or not) — a
+  * rejected copy still blocks the next copy, matching the batch
+  * operator's "any OLDER doc" partner rule.
+  *
+  * @param sink         receives this batch's verdicts `(doc_id, n_dups,
+  *                     keep)`; must consume the frame synchronously (a
+  *                     table append in production; the specs collect)
+  * @param compactEvery delta frames tolerated before a lineage-truncating
+  *                     compaction (bounds the union plan's width)
   */
 class Admission(spark: SparkSession,
-    sink: DataFrame => Unit) {
+    sink: DataFrame => Unit,
+    compactEvery: Int = 48) {
 
   import spark.implicits._
 
-  /** Accumulated band index: doc_id, band, bucket. */
-  @volatile private var index: DataFrame =
+  private def emptyIdx: DataFrame =
     Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bucket")
-  /** Accumulated distinct shingles: doc_id, s. */
-  @volatile private var store: DataFrame =
+  private def emptyStore: DataFrame =
     Seq.empty[(Long, String)].toDF("doc_id", "s")
+
+  /** Compacted lineage-free base + per-batch persisted deltas. The
+    * accumulated view is base ∪ deltas, assembled lazily per step.
+    */
+  private var baseIdx: DataFrame = emptyIdx
+  private var baseStore: DataFrame = emptyStore
+  private var deltaIdx: Vector[DataFrame] = Vector.empty
+  private var deltaStore: Vector[DataFrame] = Vector.empty
+
+  private def view(base: DataFrame, deltas: Vector[DataFrame]): DataFrame =
+    deltas.foldLeft(base)(_ union _)
 
   /** Process one micro-batch of (doc_id, text). Call from foreachBatch. */
   def step(batch: DataFrame, batchId: Long): Unit = this.synchronized {
@@ -51,11 +82,15 @@ class Admission(spark: SparkSession,
     // stream and the two must stay bit-identical.
     val bands = Dedup.bandsOf(Dedup.minhashOf(spark, Dedup.shinglesOf(docs)))
       .persist()
+    // Materialize the deltas NOW, while the foreachBatch frame is still
+    // valid (a streaming batch DataFrame cannot be re-read later) — this
+    // is the step's only store write and it is O(batch).
+    bands.count(); sh.count()
 
     // Candidates: this batch probes the accumulated index PLUS itself
     // (earlier-in-batch partners = lower doc_id, the batch operator's
     // uniform ordering rule).
-    val idxAll = index.union(bands)
+    val idxAll = view(baseIdx, deltaIdx :+ bands)
     val cand = idxAll
       .select(col("doc_id").as("old_id"), col("band"), col("bucket"))
       .join(bands.select(col("doc_id").as("new_id"),
@@ -66,7 +101,7 @@ class Admission(spark: SparkSession,
 
     // Jaccard ≥ 0.5 verify bounded to candidates, shingles served from the
     // accumulated store + this batch.
-    val shAll = store.union(sh)
+    val shAll = view(baseStore, deltaStore :+ sh)
     val sz = shAll.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val sa = shAll.select(col("doc_id").as("sa_id"), col("s").as("sa_s"))
     val sb = shAll.select(col("doc_id").as("sb_id"), col("s").as("sb_s"))
@@ -90,16 +125,29 @@ class Admission(spark: SparkSession,
       .select(col("doc_id"), coalesce(col("vd"), lit(0L)).as("n_dups"),
         col("vd").isNull.as("keep")))
 
-    // Grow the stores; release the previous generation (Iterate pattern).
-    val (oldIndex, oldStore) = (index, store)
-    index = idxAll.persist()
-    store = shAll.persist()
-    index.count(); store.count() // materialize before unpersisting parents
-    oldIndex.unpersist(); oldStore.unpersist()
-    bands.unpersist(); sh.unpersist(); docs.unpersist()
+    // APPEND the delta; the accumulated store is untouched.
+    deltaIdx :+= bands
+    deltaStore :+= sh
+    docs.unpersist()
+
+    // Bounded-lineage compaction: fold the deltas into one checkpointed,
+    // plan-free base. Runs every `compactEvery` batches — the only
+    // corpus-sized write in the operator's lifetime, amortized.
+    if (deltaIdx.size >= compactEvery) {
+      val (oldBI, oldBS, oldDI, oldDS) = (baseIdx, baseStore, deltaIdx, deltaStore)
+      baseIdx = view(baseIdx, deltaIdx).localCheckpoint(true)
+      baseStore = view(baseStore, deltaStore).localCheckpoint(true)
+      deltaIdx = Vector.empty
+      deltaStore = Vector.empty
+      oldBI.unpersist(); oldBS.unpersist()
+      oldDI.foreach(_.unpersist()); oldDS.foreach(_.unpersist())
+    }
   }
 
   def close(): Unit = this.synchronized {
-    index.unpersist(); store.unpersist()
+    baseIdx.unpersist(); baseStore.unpersist()
+    deltaIdx.foreach(_.unpersist()); deltaStore.foreach(_.unpersist())
+    deltaIdx = Vector.empty; deltaStore = Vector.empty
+    baseIdx = emptyIdx; baseStore = emptyStore
   }
 }

@@ -36,12 +36,17 @@ object AdmissionProbe {
         .start()
       val t0 = System.nanoTime()
       var i = 0
+      var accumulated = 0L
       docs.grouped(batchSize).foreach { g =>
         val b0 = System.nanoTime()
         input.addData(g)
         q.processAllAvailable()
         i += 1
-        println(f"batch $i%3d (${g.size} docs): ${(System.nanoTime() - b0) / 1e9}%.2fs")
+        accumulated += g.size
+        // The number that matters is the TREND of per-batch seconds as
+        // `acc` (the accumulated index size) grows — flat = corpus-free.
+        println(f"batch $i%3d (${g.size} docs, acc=$accumulated%7d): " +
+          f"${(System.nanoTime() - b0) / 1e9}%.2fs")
       }
       val total = (System.nanoTime() - t0) / 1e9
       println(f"total: ${docs.size} docs in $total%.1fs = ${docs.size / total}%.0f docs/s; " +

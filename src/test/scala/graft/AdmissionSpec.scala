@@ -115,6 +115,31 @@ class AdmissionSpec extends SparkSpecBase {
     } finally {
       q2.stop(); adm2.close()
     }
+
+    // Compaction invariance: with compactEvery=2 the delta stores are
+    // folded into the checkpointed base mid-stream (several times, given
+    // >4 batches) — decisions must be bit-identical to the uncompacted
+    // runs above, proving compaction is pure lineage bookkeeping.
+    val got3 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val adm3 = new Admission(spark, collector(got3), compactEvery = 2)
+    val input3 = MemoryStream[(Long, String)]
+    val q3 = input3.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => adm3.step(b, id))
+      .start()
+    try {
+      val step = math.max(1, docs.length / 6)
+      var from3 = 0
+      while (from3 < docs.length) {
+        input3.addData(docs.slice(from3, from3 + step))
+        q3.processAllAvailable()
+        from3 += step
+      }
+      assert(got3.sortBy(_._1).toSeq == expected,
+        "decisions changed across a store compaction boundary")
+    } finally {
+      q3.stop(); adm3.close()
+    }
   }
 
   /** Private-constant mirror so the reference can read the SAME scheme
