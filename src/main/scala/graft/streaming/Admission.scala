@@ -36,13 +36,21 @@ import graft.queries.Dedup
   * the table format's own file compaction; the probe/verify plans are
   * unchanged either way.
   *
-  * Scale posture (the q_dedup_incremental audit, unchanged): candidate
-  * generation is batch-bands ⋈ accumulated-index on (band, bucket) —
-  * O(batch · bands) candidates, independent of corpus size; the verify
-  * explodes shingles of candidate docs only. State never holds text: the
-  * stores carry digests (16 B band rows) and shingle strings of one
-  * corpus pass. ALL batch docs enter the index (admitted or not) — a
-  * rejected copy still blocks the next copy, matching the batch
+  * Scale posture (the q_dedup_incremental audit, tightened by the ×100
+  * probe): candidate generation is accumulated-index ⋈ BROADCAST
+  * batch-bands on (band, bucket) — O(batch · bands) candidates and NO
+  * shuffle of the corpus-sized index, ever. The shingle store holds ONE
+  * row per document `(doc_id, sh array, nsh)`, and the Jaccard verify is
+  * two broadcast probes of that store (candidates are batch-sized) plus
+  * `array_intersect` per candidate pair — so a micro-batch's plan moves
+  * only batch-sized data; the corpus-sized frames are only ever SCANNED
+  * (cached, columnar-compact), never shuffled, sorted, or re-aggregated.
+  * The first cut of this operator recomputed per-doc shingle counts and
+  * sort-merge-joined the full exploded store every batch — measured
+  * LINEAR (2.6 s at 5 k docs → 15 s at 185 k); this shape replaces it.
+  * State never holds text: the stores carry 16 B band rows and the
+  * one-pass shingle arrays. ALL batch docs enter the index (admitted or
+  * not) — a rejected copy still blocks the next copy, matching the batch
   * operator's "any OLDER doc" partner rule.
   *
   * @param sink         receives this batch's verdicts `(doc_id, n_dups,
@@ -60,7 +68,7 @@ class Admission(spark: SparkSession,
   private def emptyIdx: DataFrame =
     Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bucket")
   private def emptyStore: DataFrame =
-    Seq.empty[(Long, String)].toDF("doc_id", "s")
+    Seq.empty[(Long, Seq[String], Long)].toDF("doc_id", "sh", "nsh")
 
   /** Compacted lineage-free base + per-batch persisted deltas. The
     * accumulated view is base ∪ deltas, assembled lazily per step.
@@ -76,11 +84,23 @@ class Admission(spark: SparkSession,
   /** Process one micro-batch of (doc_id, text). Call from foreachBatch. */
   def step(batch: DataFrame, batchId: Long): Unit = this.synchronized {
     val docs = batch.select("doc_id", "text").persist()
-    val sh = Dedup.shinglesOf(docs).distinct().persist()
+    // One array-row per doc: the distinct shingle set + its size — the
+    // store shape that lets the verify probe by doc instead of exploding
+    // the corpus (50-150× fewer store rows than one-row-per-shingle).
+    // Deltas are long-lived scan members, so they land in FEW partitions
+    // (a batch is small): without this, every accumulated scan carries
+    // ~shufflePartitions tasks PER DELTA and per-batch cost creeps with
+    // delta count — task-count overhead, not data (measured at ×100).
+    val sh = Dedup.shinglesOf(docs).distinct()
+      .groupBy("doc_id")
+      .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("nsh"))
+      .repartition(2)
+      .persist()
     // Signatures from RAW (non-distinct) shingles — MinHash is min-based so
     // distinctness doesn't change it, but the batch operators hash the raw
     // stream and the two must stay bit-identical.
     val bands = Dedup.bandsOf(Dedup.minhashOf(spark, Dedup.shinglesOf(docs)))
+      .repartition(2)
       .persist()
     // Materialize the deltas NOW, while the foreachBatch frame is still
     // valid (a streaming batch DataFrame cannot be re-read later) — this
@@ -89,31 +109,31 @@ class Admission(spark: SparkSession,
 
     // Candidates: this batch probes the accumulated index PLUS itself
     // (earlier-in-batch partners = lower doc_id, the batch operator's
-    // uniform ordering rule).
+    // uniform ordering rule). The batch side is BROADCAST so the
+    // corpus-sized index is scanned in place — never shuffled.
     val idxAll = view(baseIdx, deltaIdx :+ bands)
     val cand = idxAll
       .select(col("doc_id").as("old_id"), col("band"), col("bucket"))
-      .join(bands.select(col("doc_id").as("new_id"),
-          col("band").as("b2"), col("bucket").as("k2")),
+      .join(broadcast(bands.select(col("doc_id").as("new_id"),
+          col("band").as("b2"), col("bucket").as("k2"))),
         col("band") === col("b2") && col("bucket") === col("k2") &&
           col("old_id") < col("new_id"))
       .select("old_id", "new_id").distinct()
 
-    // Jaccard ≥ 0.5 verify bounded to candidates, shingles served from the
-    // accumulated store + this batch.
+    // Jaccard ≥ 0.5 verify bounded to candidates: two broadcast probes of
+    // the array store (candidates are O(batch·bands) — always the small
+    // side) fetch both shingle sets, then the intersection is a per-pair
+    // array op. No corpus-sized shuffle, sort, or aggregation.
     val shAll = view(baseStore, deltaStore :+ sh)
-    val sz = shAll.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val sa = shAll.select(col("doc_id").as("sa_id"), col("s").as("sa_s"))
-    val sb = shAll.select(col("doc_id").as("sb_id"), col("s").as("sb_s"))
-    val inter = cand
-      .join(sa, col("old_id") === col("sa_id"))
-      .join(sb, col("new_id") === col("sb_id") && col("sa_s") === col("sb_s"))
-      .groupBy("old_id", "new_id").agg(count(lit(1)).as("inter"))
-    val verified = inter
-      .join(sz.select(col("doc_id").as("za_id"), col("nsh").as("na")),
-        col("old_id") === col("za_id"))
-      .join(sz.select(col("doc_id").as("zb_id"), col("nsh").as("nb")),
-        col("new_id") === col("zb_id"))
+    val withOld = shAll
+      .select(col("doc_id").as("old_id"), col("sh").as("sha"),
+        col("nsh").as("na"))
+      .join(broadcast(cand), "old_id")
+    val verified = shAll
+      .select(col("doc_id").as("new_id"), col("sh").as("shb"),
+        col("nsh").as("nb"))
+      .join(broadcast(withOld), "new_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .where(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
       .groupBy("new_id").agg(count(lit(1)).as("vd"))
 
@@ -135,8 +155,9 @@ class Admission(spark: SparkSession,
     // corpus-sized write in the operator's lifetime, amortized.
     if (deltaIdx.size >= compactEvery) {
       val (oldBI, oldBS, oldDI, oldDS) = (baseIdx, baseStore, deltaIdx, deltaStore)
-      baseIdx = view(baseIdx, deltaIdx).localCheckpoint(true)
-      baseStore = view(baseStore, deltaStore).localCheckpoint(true)
+      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      baseIdx = view(baseIdx, deltaIdx).coalesce(p).localCheckpoint(true)
+      baseStore = view(baseStore, deltaStore).coalesce(p).localCheckpoint(true)
       deltaIdx = Vector.empty
       deltaStore = Vector.empty
       oldBI.unpersist(); oldBS.unpersist()
