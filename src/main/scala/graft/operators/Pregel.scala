@@ -32,9 +32,29 @@ import org.apache.spark.sql.functions._
   * Checkpointing truncates the growing lineage each round
   * (`reliableCheckpoint = true` switches executor-local blocks to the
   * HDFS-backed variant a 1000-executor cluster needs to survive executor
-  * loss). Rounds scale with graph DIAMETER — for long-chain graphs use
-  * doubling ([[Components.starContract]] is the O(log n) counterpoint
-  * shipped for the connected-components special case).
+  * loss).
+  *
+  * Long diameters: a Θ(diameter) program (SSSP, flooding) needs
+  * `setMaxIter ≥ diameter` — the run fails LOUDLY on non-convergence
+  * rather than returning partial distances, so raise maxIter when it
+  * does. Where a pointer-doubling formulation exists, prefer it:
+  * [[Components.starContract]] is the shipped O(log n)-round alternative
+  * for connected components; Δ-stepping-style bucketed relaxation is the
+  * literature answer for SSSP and is future work here.
+  *
+  * Hot-vertex skew (power-law graphs): a vertex with huge IN-degree is
+  * absorbed by the message fold — Spark's partial aggregation bounds its
+  * per-reducer fan-in at the map-task count for the constant-state
+  * aggregates the model uses, and [[setMessageSalt]] adds a two-level
+  * (id, salt) pre-fold for the regimes where that bound is weak (both
+  * measured on a star graph — see PregelSpec/StarProbe). A vertex with
+  * huge OUT-degree concentrates its edge rows in one partition of the
+  * src-keyed layout, so one task computes that vertex's triplets; for
+  * undirected algorithms, symmetrizing edges and reading src-state only
+  * (the q_graph_cc pattern) halves the exposure, and GraphX-style 2D
+  * edge partitioning (state replicated √P ways) is the known trade if a
+  * single out-hub ever dominates — deliberately not paid by default
+  * because it re-ships state every round for every graph.
   *
   * @param vertices  one row per vertex; must carry `id` (any equatable
   *                  type); all columns are visible to message expressions
@@ -54,7 +74,8 @@ final class Pregel private (
     reliable: Boolean,
     requireConverged: Boolean,
     tag: Option[String],
-    tripletFields: Option[(Boolean, Boolean)]) {
+    tripletFields: Option[(Boolean, Boolean)],
+    messageSalt: Int) {
 
   private def copy(
       stateCols: Seq[(String, Column, Column)] = stateCols,
@@ -65,9 +86,11 @@ final class Pregel private (
       reliable: Boolean = reliable,
       requireConverged: Boolean = requireConverged,
       tag: Option[String] = tag,
-      tripletFields: Option[(Boolean, Boolean)] = tripletFields): Pregel =
+      tripletFields: Option[(Boolean, Boolean)] = tripletFields,
+      messageSalt: Int = messageSalt): Pregel =
     new Pregel(vertices, edges, stateCols, msgsToDst, msgsToSrc, aggExpr,
-      maxIterations, reliable, requireConverged, tag, tripletFields)
+      maxIterations, reliable, requireConverged, tag, tripletFields,
+      messageSalt)
 
   /** Add a state column: `init` is evaluated once over the vertex row;
     * `update` is evaluated each superstep over the vertex row (current
@@ -111,6 +134,34 @@ final class Pregel private (
     * per-round breakdown, not just the total.
     */
   def setTag(name: String): Pregel = copy(tag = Some(name))
+
+  /** Hot-vertex (power-law in-degree) message aggregation: with `n > 1`
+    * the per-round message fold runs TWO-LEVEL — messages pre-aggregate
+    * on `(id, salt)` (salt round-robins over `n` buckets), then the
+    * per-id partials fold to the final value — so no single reduce task
+    * ever merges more than `~fan-in/n + n` rows for one hot target.
+    *
+    * When it matters: Spark's partial (map-side) aggregation already
+    * bounds a hot vertex's final fan-in at the MAP task count for
+    * reductive aggregates (min/sum — each map task emits one partial per
+    * id), so at moderate parallelism the single-level plan does not
+    * serialize (the star-graph probe measures this). The salt is the
+    * guard for the regimes where that bound is weak: clusters whose map
+    * side is many thousands of tasks, aggregates whose partial state is
+    * NOT constant-size (so per-row merge cost at the final reducer is
+    * real), and forced-spill paths where one reducer's sort dominates.
+    *
+    * Legality: the salted plan applies `aggMsgs` twice (partials, then
+    * merge), so the aggregate must be its own merge — true for the
+    * associative-commutative, constant-state folds the Pregel model
+    * already requires (min/max/sum/bit ops), NOT for count/avg/collect
+    * shapes (count of partial counts double-counts). The spec pins
+    * salted ≡ unsalted results for the shipped algorithms.
+    */
+  def setMessageSalt(n: Int): Pregel = {
+    require(n >= 1, "message salt must be >= 1")
+    copy(messageSalt = n)
+  }
 
   /** Which endpoint STATES the message expressions read — the GraphX
     * `TripletFields` optimization: a superstep only joins the state
@@ -236,10 +287,21 @@ final class Pregel private (
       // (map-side combined). Its exchange lands at P partitions and the
       // fold stage also reads the state's checkpoint blocks, so AQE
       // cannot coalesce the read — the fold join is co-partitioned with
-      // the state AS PLANNED and the state side never moves.
-      val delivered = outbound.reduce(_ unionByName _)
+      // the state AS PLANNED and the state side never moves. With
+      // messageSalt > 1 the fold is TWO-LEVEL (see setMessageSalt): a
+      // (id, salt) pre-aggregation bounds any one task's merge fan-in
+      // for a hot vertex, at the price of a second frontier exchange.
+      val inbound = outbound.reduce(_ unionByName _)
         .where(col(Pregel.MsgCol).isNotNull)
-        .groupBy("id").agg(agg.as(Pregel.MsgCol))
+      val delivered = (if (messageSalt <= 1) {
+        inbound.groupBy("id").agg(agg.as(Pregel.MsgCol))
+      } else {
+        inbound
+          .withColumn(Pregel.SaltCol,
+            pmod(monotonically_increasing_id(), lit(messageSalt.toLong)))
+          .groupBy("id", Pregel.SaltCol).agg(agg.as(Pregel.MsgCol))
+          .groupBy("id").agg(agg.as(Pregel.MsgCol))
+      })
         .hint("shuffle_hash") // build the frontier, never the state
       val obs = Observation()
       val folded =
@@ -293,6 +355,7 @@ final class Pregel private (
 
 object Pregel {
   private[operators] val MsgCol = "_pregel_msg"
+  private[operators] val SaltCol = "_pregel_salt"
 
   /** Per-tag per-superstep (delivered, seconds) of the most recent tagged
     * [[Pregel.run]] — drained by `graft.Bench` into `bench_last.json`'s
@@ -317,7 +380,7 @@ object Pregel {
 
   def apply(vertices: DataFrame, edges: DataFrame): Pregel =
     new Pregel(vertices, edges, Nil, Nil, Nil, None, 20, false, true, None,
-      None)
+      None, 1)
 
   /** The sending edge's source-vertex column, inside message expressions. */
   def src(c: String): Column = col(s"src.$c")
