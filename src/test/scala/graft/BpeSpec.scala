@@ -1,0 +1,78 @@
+package graft
+
+import graft.queries.Bpe
+
+/** BPE token counting ([[graft.queries.Bpe]]) vs an INDEPENDENT
+  * plain-Scala reference: the greedy rank-ordered merge loop
+  * reimplemented imperatively (no Spark, no SQL) and brute-forced over
+  * every document — the same replicate-the-scheme bar as AdmissionSpec.
+  * A shared misreading of `aggregate`/`list_reduce` fold semantics in
+  * the two SQL dialects cannot pass it.
+  */
+class BpeSpec extends SparkSpecBase {
+
+  /** Reference: chars, then one greedy left-to-right pass per merge rank. */
+  private def bpeRef(word: String): Vector[String] = {
+    var toks = word.split("").filter(_.nonEmpty).toVector
+    for ((a, b) <- Bpe.merges) {
+      var acc = Vector.empty[String]
+      for (x <- toks) {
+        if (acc.nonEmpty && acc.last == a && x == b) acc = acc.init :+ (a + b)
+        else acc = acc :+ x
+      }
+      toks = acc
+    }
+    toks
+  }
+
+  private def engineTokens(word: String): Seq[String] = {
+    val lit = "'" + word + "'"
+    spark.sql(s"SELECT ${Bpe.sparkTokens(lit)} AS t")
+      .collect().head.getSeq[String](0)
+  }
+
+  test("merge-chain and doubled-letter greedy semantics (unit words)") {
+    // table builds through ta/bl/tabl/table; lll folds LEFT-first;
+    // words with no applicable merge stay character-split.
+    assert(engineTokens("table") === Seq("table"))
+    assert(bpeRef("table") === Vector("table"))
+    assert(engineTokens("lll") === Seq("ll", "l"))
+    assert(engineTokens("llll") === Seq("ll", "ll"))
+    assert(engineTokens("xyz") === Seq("x", "y", "z"))
+    assert(engineTokens("scanner") === Seq("scan", "n", "e", "r"))
+    for (w <- Seq("table", "lll", "llll", "xyz", "scanner", "value", "hash",
+        "partkey", "keyvalue", "tables", "a"))
+      assert(engineTokens(w) === bpeRef(w), s"engine diverged on '$w'")
+  }
+
+  test("q_text_bpe counts equal the plain-Scala reference corpus-wide") {
+    val got = Bpe.qTextBpe.fn(spark, sf)
+      .select("doc_id", "n_ws", "n_bpe")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(docs.nonEmpty)
+    for ((id, text) <- docs) {
+      val words = text.split(" ").filter(_.nonEmpty)
+      val want = (words.length.toLong, words.map(bpeRef(_).size.toLong).sum)
+      assert(got(id) === want, s"doc $id diverged from the reference")
+    }
+  }
+
+  test("budget cut is the token-budget window at the BPE grain") {
+    // Every admitted doc fits its language budget, and the cut is tight:
+    // cum_tok is the exact running sum in md5(doc_id) order.
+    val rows = Bpe.qStatBpeBudget.fn(spark, sf)
+      .select("lang", "doc_id", "n_tok", "cum_tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val budget = Map("en" -> 9000L, "zh" -> 4500L).withDefaultValue(2500L)
+    for ((lang, _, _, cum) <- rows) assert(cum <= budget(lang))
+    // per-language: cum_tok of the md5-ordered admitted docs telescopes
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(_._4)
+      assert(inOrder.scanLeft(0L)(_ + _._3).tail.toSeq === inOrder.map(_._4).toSeq)
+    }
+  }
+}
