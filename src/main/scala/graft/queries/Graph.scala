@@ -212,6 +212,35 @@ object Graph extends QModule {
     * orientation trick conserves the triangle set, not just that two
     * copies of one plan agree.
     */
+  /** The wedge-close probe over an ORIENTED (degree-ordered, deduplicated)
+    * edge list `(u, v)`: wedges x→y→z stream through two hash joins and
+    * the closing edge (x, z) probes either the packed single-BIGINT key
+    * (ids < 2³¹ — primitive LongHashedRelation probes, ~3× faster) or the
+    * composite (x, z) key (any id range — same plan shape, UnsafeRow
+    * keys). Exposed so the spec can pin packed ≡ composite and drive the
+    * composite path with ≥ 2³¹ ids the fixtures never produce.
+    */
+  private[graft] def triangleProbe(or: DataFrame,
+      hint: DataFrame => DataFrame, packed: Boolean): DataFrame = {
+    val e1 = or.select(col("u").as("x"), col("v").as("y"))
+    val e2 = or.select(col("u").as("y2"), col("v").as("z"))
+    val wedges = e1.join(hint(e2), col("y") === col("y2"))
+    val closed =
+      if (packed) {
+        val e3 = or.select(
+          shiftleft(col("u"), 32).bitwiseOR(col("v")).as("uv"))
+        wedges.join(hint(e3),
+          shiftleft(col("x"), 32).bitwiseOR(col("z")) === col("uv"))
+      } else {
+        val e3 = or.select(col("u").as("u3"), col("v").as("v3"))
+        wedges.join(hint(e3), col("x") === col("u3") && col("z") === col("v3"))
+      }
+    closed
+      .select(explode(array(col("x"), col("y"), col("z"))).as("l_partkey"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("tri_cnt"))
+  }
+
   val qGraphTriangles = QDef(
     "q_graph_triangles",
     (s, d) => {
@@ -290,16 +319,19 @@ object Graph extends QModule {
               .getOrElse(stats.sizeInBytes <= (128L << 20)))
           broadcast _
         else identity
-      val e1 = or.select(col("u").as("x"), col("v").as("y"))
-      val e2 = or.select(col("u").as("y2"), col("v").as("z"))
-      val e3 = or.select(
-        shiftleft(col("u"), 32).bitwiseOR(col("v")).as("uv"))
-      e1.join(hint(e2), col("y") === col("y2"))
-        .join(hint(e3),
-          shiftleft(col("x"), 32).bitwiseOR(col("z")) === col("uv"))
-        .select(explode(array(col("x"), col("y"), col("z"))).as("l_partkey"))
-        .groupBy("l_partkey")
-        .agg(count(lit(1)).as("tri_cnt"))
+      // Packed-key legality is CHECKED, not assumed: shiftleft(u,32)|v is
+      // only injective while every id fits 31 bits (u ≥ 2³¹ sign-extends
+      // the shift; v ≥ 2³² bleeds into u's bits) — and growth fixtures
+      // shift part keys without bound. The max id is memoized alongside
+      // the index (one cheap agg over the cached edges, a 1-row read
+      // thereafter); an out-of-range graph falls back to the composite
+      // (x, z) join key — same plan shape, UnsafeRow keys instead of the
+      // primitive LongHashedRelation — rather than returning wrong counts.
+      val maxId = graft.SessionCache.memo(s, s"tri-idmax:$d") {
+        or.agg(coalesce(max(greatest(col("u"), col("v"))), lit(0L)).as("mx"))
+          .persist()
+      }.head().getLong(0)
+      triangleProbe(or, hint, packed = maxId < (1L << 31))
     },
     Some("""
       WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b

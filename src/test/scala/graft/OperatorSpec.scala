@@ -1081,6 +1081,32 @@ class OperatorSpec extends SparkSpecBase {
       s"under-gate probe lost its broadcast hash legs:\n$p")
   }
 
+  test("triangle packed key is guarded: composite fallback agrees and survives 2^31 ids") {
+    // The packed closing key shiftleft(u,32)|v is only injective for ids
+    // < 2^31; q_graph_triangles now checks the memoized max id and falls
+    // back to the composite (x, z) key. Pin (a) packed == composite on a
+    // normal graph and (b) the composite path counts correctly on ids the
+    // packed key would corrupt (sign-extended shift).
+    import spark.implicits._
+    import graft.queries.Graph
+    // K4 on {0,1,2,3} oriented by u < v: 4 triangles, each vertex in 3.
+    val k4 = (for (u <- 0L to 3L; v <- (u + 1) to 3L) yield (u, v)).toDF("u", "v")
+    def counts(or: org.apache.spark.sql.DataFrame, packed: Boolean) =
+      Graph.triangleProbe(or, identity, packed)
+        .as[(Long, Long)].collect().toMap
+    val packed = counts(k4, packed = true)
+    val composite = counts(k4, packed = false)
+    assert(packed === composite, "packed and composite keys disagree")
+    assert(packed === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // Same K4 shifted past 2^31: the composite path must still see 4
+    // triangles per-vertex — the range that forces the fallback.
+    val big = (1L << 31) + 7L
+    val shifted = k4.select((col("u") + big).as("u"), (col("v") + big).as("v"))
+    val compositeBig = counts(shifted, packed = false)
+    assert(compositeBig === packed.map { case (k, n) => (k + big, n) },
+      "composite fallback miscounts out-of-range ids")
+  }
+
   test("q_dedup_incremental probes the cached band index and bounds the verify to candidates") {
     // The incremental-ingestion scale contract: candidate generation reads
     // the ACCUMULATED signature index from cache (never re-shingles the
