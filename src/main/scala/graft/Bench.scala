@@ -246,7 +246,7 @@ object Bench {
     // (BASELINE.md decomposition); overlapping submissions amortizes the
     // floor the way a busy cluster does, so this is the throughput number
     // comparable across engines at small SF.
-    def pipelinedPass(): Double = {
+    def pipelinedPass(): (Double, Seq[(String, Double)]) = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(pipeThreads)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -285,16 +285,19 @@ object Bench {
         scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(fs),
           scala.concurrent.duration.Duration(30, "min"))
-        if (sys.env.get("SPARK_GRAFT_PIPE_DETAIL").contains("1")) {
-          import scala.jdk.CollectionConverters._
-          val byFinish = done.asScala.toSeq.sortBy(-_._2)
+        import scala.jdk.CollectionConverters._
+        // Completion offsets ride into the artifact BY DEFAULT: the
+        // pass's wall-clock is max(completion), so the straggler names
+        // are the evidence a reader needs to adjudicate a high pass
+        // without env knobs or a re-run.
+        val byFinish = done.asScala.toSeq.sortBy(-_._2)
+        if (sys.env.get("SPARK_GRAFT_PIPE_DETAIL").contains("1"))
           System.err.println("[bench] pipelined completion offsets (slowest first): " +
             byFinish.take(15).map { case (n, s) => f"$n=$s%.2f" }.mkString(", "))
-        }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, byFinish.take(5))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pipelined pass failed: ${e.getMessage}")
-        -1.0
+        (-1.0, Seq.empty)
       } finally pool.shutdown()
     }
     // Self-adjudicating pipelined measurement: the pass's wall-clock rests
@@ -321,18 +324,24 @@ object Bench {
         }.min
       }.getOrElse(-1.0)
     }
+    // ALL passes run unconditionally (no stop-at-first-quiet): the
+    // pipelined band on this host is real (observed 4.1–15.8 s for
+    // identical plans across rounds), so a single-pass artifact can't be
+    // adjudicated. Every pass is reported with its canary, its slowest
+    // completion offsets, and the spread — the reader sees the whole
+    // band, not one sample of it.
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_PIPE_PASSES", "3").toInt
-    val passes = scala.collection.mutable.ListBuffer.empty[(Double, Double)]
-    var adjudicated = false
-    while (!adjudicated && passes.size < maxPasses) {
-      val passTotal = pipelinedPass()
+    val passes =
+      scala.collection.mutable.ListBuffer.empty[(Double, Double, Seq[(String, Double)])]
+    while (passes.size < maxPasses) {
+      val (passTotal, offsets) = pipelinedPass()
       val canary = if (haveCanary) canaryProbe() else -1.0
-      passes += ((passTotal, canary))
-      adjudicated = passTotal >= 0 &&
+      passes += ((passTotal, canary, offsets))
+      val quiet = passTotal >= 0 &&
         (!haveCanary || (canary >= 0 && canary <= 1.3 * seqCanaryFloor))
-      if (!adjudicated && passes.size < maxPasses)
-        System.err.println(f"[bench] pipelined pass ${passes.size} noisy " +
-          f"(canary $canary%.2f s vs seq floor $seqCanaryFloor%.2f s) — retrying")
+      System.err.println(f"[bench] pipelined pass ${passes.size}: " +
+        f"$passTotal%.2f s (canary $canary%.2f s vs seq floor " +
+        f"$seqCanaryFloor%.2f s${if (quiet) ", quiet" else ", noisy"})")
     }
     val okPasses = passes.filter(_._1 >= 0)
     // Adjudicated headline: the quietest pass's total (min canary), falling
@@ -342,15 +351,20 @@ object Bench {
       else if (haveCanary) okPasses.minBy(p => (p._2, p._1))._1
       else okPasses.map(_._1).min
     val pipelinedTotal = pipelinedBestQuiet
-    val passesJson = passes.map { case (tt, c) =>
-      s"""{"total":${fmt(tt)},"canary":${fmt(c)}}"""
+    val pipelinedSpread =
+      if (okPasses.size >= 2) okPasses.map(_._1).max / okPasses.map(_._1).min
+      else 1.0
+    val passesJson = passes.map { case (tt, c, offs) =>
+      val tail = offs.map { case (n, s) => "\"" + n + "\":" + fmt(s) }
+        .mkString("{", ",", "}")
+      s"""{"total":${fmt(tt)},"canary":${fmt(c)},"slowest":$tail}"""
     }.mkString("[", ",", "]")
     def qmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val valueSteady = perQuerySteady.collect { case (_, v) if v >= 0 => v }.sum
     val buildTotal = buildS.map(_._2).sum
     val commonTail =
-      s""""failed":$failedJson,"rounds":$rounds,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"pipelined_total":${fmt(pipelinedTotal)},"pipelined_best_quiet":${fmt(pipelinedBestQuiet)},"pipelined_passes":$passesJson,"value_steady":${fmt(valueSteady)},"build_total":${fmt(buildTotal)},"sched_mode":"$schedMode","pipe_threads":$pipeThreads,"sf":"$sfDir""""
+      s""""failed":$failedJson,"rounds":$rounds,"canary":"$canaryName","noise_factor":${fmt(noiseFactor)},"pipelined_total":${fmt(pipelinedTotal)},"pipelined_best_quiet":${fmt(pipelinedBestQuiet)},"pipelined_spread":${fmt(pipelinedSpread)},"pipelined_passes":$passesJson,"value_steady":${fmt(valueSteady)},"build_total":${fmt(buildTotal)},"sched_mode":"$schedMode","pipe_threads":$pipeThreads,"sf":"$sfDir""""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_steady":${qmap(perQuerySteady)},"queries_r1":${qmap(perQueryR1)},"build_s":${qmap(buildS)},"rounds_raw":$raw,"graph_rounds":$graphRounds,$commonTail$scaleJson}"""
     // Persist the FULL artifact unconditionally: (a) a stable in-repo path
