@@ -9,32 +9,39 @@ import graft.{QDef, QModule}
   * point, not linguistic fidelity: the merge table is the broadcast
   * dimension (in SQL-text form here, a broadcast lookup at vocab scale),
   * and encoding is a pure per-document projection — ONE corpus scan,
-  * zero shuffles, zero UDFs.
+  * zero shuffles, zero UDFs, zero higher-order functions.
   *
-  * Encoding semantics (identical in both dialects, and pinned against a
-  * plain-Scala reference in `BpeSpec`): a word is split to characters,
-  * then each merge rule `(a, b) → ab` is applied in rank order as one
-  * greedy left-to-right pass — expressed as an ordered fold
-  * (`aggregate` HOF in Spark; `list_reduce` in DuckDB, which uses the
-  * first element as the seed, so elements are wrapped in single-element
-  * lists to make the accumulator a token list). Applying each rule once
-  * in rank order is the standard greedy approximation of priority-queue
-  * BPE encoding; on a vocabulary whose merges are learned bottom-up
-  * (each rule's inputs exist before it) the two diverge only on
-  * adversarial token chains.
+  * Execution shape (the round-10 re-plan): the token stream is a
+  * delimiter-joined STRING (`|c|h|a|r|s|`, spaces ride along as
+  * unmergeable word-boundary tokens) and each merge rule `(a, b) → ab`
+  * is TWO sequential `replace('|a|b|', '|ab|')` calls — plain codegen'd
+  * string scans. Two passes are exact, not heuristic: `replace` is
+  * left-to-right non-overlapping, so a match consumes the shared
+  * delimiter of the NEXT adjacent site; a missed site is always
+  * preceded by a merged one, so missed sites are never adjacent and the
+  * second pass catches them all. With distinct-token rules (a ≠ b,
+  * which this vocabulary keeps by construction) merge sites are
+  * disjoint and merging cannot create new sites, so two-pass replace ≡
+  * the greedy left-to-right fold — pinned corpus-wide against an
+  * independent plain-Scala fold in `BpeSpec`. The first cut of this
+  * query folded per-word arrays through nested `aggregate` HOFs —
+  * interpreted, O(len²) accumulator copies, measured 32.9 s at sf0.1;
+  * this shape runs the same semantics in milliseconds-per-thousand-docs
+  * entirely inside WholeStageCodegen.
   *
-  * Scale (100 TB): the whole computation is a codegen-friendly
-  * projection over `documents` — it partitions with the scan, pushes
-  * down column pruning (only `text`/`lang` read), and adds NO exchange;
-  * the budget-cut twin inherits q_stat_token_budget's one-shuffle
-  * window shape with the BPE grain swapped in.
+  * Scale (100 TB): the whole computation partitions with the scan,
+  * prunes to `text`/`lang`, and adds NO exchange; the budget-cut twin
+  * inherits q_stat_token_budget's one-shuffle window shape with the BPE
+  * grain swapped in. Assumes the corpus alphabet excludes the `|`
+  * delimiter (true of the normalized text the pipeline feeds it; any
+  * reserved sentinel works).
   */
 object Bpe extends QModule {
 
-  /** Merge rules in rank order: (left, right) → left+right. Chains build
-    * corpus-frequent whole words (table, value, scan, hash, part, row,
-    * key) through their intermediate pairs; (l,l) exercises the doubled-
-    * letter greedy case ("lla" folds left: [ll, a]).
+  /** Merge rules in rank order: (left, right) → left+right, all with
+    * left ≠ right (the two-pass-replace exactness precondition). Chains
+    * build corpus-frequent whole words (table, value, scan, hash, part,
+    * row, key) through their intermediate pairs.
     */
   val merges: Seq[(String, String)] = Seq(
     "t" -> "a", "b" -> "l", "ta" -> "bl", "tabl" -> "e",
@@ -43,51 +50,39 @@ object Bpe extends QModule {
     "h" -> "a", "ha" -> "s", "has" -> "h",
     "p" -> "a", "pa" -> "r", "par" -> "t",
     "r" -> "o", "ro" -> "w",
-    "k" -> "e", "ke" -> "y",
-    "l" -> "l")
+    "k" -> "e", "ke" -> "y")
 
-  /** Spark SQL: BPE token array of one word expression. */
-  def sparkTokens(word: String): String =
-    merges.zipWithIndex.foldLeft(
-      s"filter(split($word, ''), c0 -> c0 != '')") { case (prev, ((a, b), k)) =>
-      val (acc, x) = (s"a$k", s"x$k")
-      s"""aggregate($prev, CAST(array() AS ARRAY<STRING>),
-          ($acc, $x) -> IF(get($acc, size($acc) - 1) = '$a' AND $x = '$b',
-            concat(slice($acc, 1, size($acc) - 1), array('$a$b')),
-            concat($acc, array($x))))"""
-    }
-
-  /** DuckDB SQL: BPE token list of one word expression. `list_reduce`
-    * seeds from the first element, so each pass wraps tokens in
-    * single-element lists; `acc[1:-2]` is drop-last.
+  /** The delimited token stream of `e` after all merges — dialect-split
+    * only in the char-explode regex (`$1` vs `\1`, and DuckDB's explicit
+    * global flag); the 2×|merges| `replace` tower is shared text.
     */
-  def duckTokens(word: String): String =
-    merges.zipWithIndex.foldLeft(
-      s"string_split($word, '')") { case (prev, ((a, b), k)) =>
-      val (acc, x, w) = (s"a$k", s"x$k", s"w$k")
-      s"""list_reduce(list_transform($prev, $w -> [$w]),
-          ($acc, $x) -> CASE WHEN $acc[-1] = '$a' AND $x[1] = '$b'
-            THEN list_append($acc[1:-2], '$a$b')
-            ELSE list_append($acc, $x[1]) END)"""
+  def tokenStream(e: String, dialect: String): String = {
+    val exploded = dialect match {
+      case "spark" => s"concat(regexp_replace($e, '(.)', '|$$1'), '|')"
+      case _       => s"concat(regexp_replace($e, '(.)', '|\\1', 'g'), '|')"
     }
-
-  private def bpeCountSql(dialect: String): String = dialect match {
-    case "spark" =>
-      s"""SELECT doc_id, lang,
-            CAST(size(filter(split(text, ' '), w -> w != '')) AS BIGINT) AS n_ws,
-            aggregate(transform(filter(split(text, ' '), w -> w != ''),
-                w -> ${sparkTokens("w")}),
-              CAST(0 AS BIGINT), (s, t) -> s + size(t)) AS n_bpe
-          FROM documents"""
-    case _ =>
-      s"""SELECT doc_id, lang,
-            CAST(len(list_filter(string_split(text, ' '), w -> w != '')) AS BIGINT) AS n_ws,
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-                list_transform(list_filter(string_split(text, ' '), w -> w != ''),
-                  w -> CAST(len(${duckTokens("w")}) AS BIGINT))),
-              (s, t) -> s + t) AS n_bpe
-          FROM documents"""
+    merges.foldLeft(exploded) { case (s, (a, b)) =>
+      s"replace(replace($s, '|$a|$b|', '|$a$b|'), '|$a|$b|', '|$a$b|')"
+    }
   }
+
+  /** BIGINT BPE token count of `e` (spaces excluded: they ride the
+    * stream as boundary tokens and are subtracted back out).
+    */
+  def bpeCount(e: String, dialect: String): String = {
+    val s = tokenStream(e, dialect)
+    s"""CAST(length($s) - length(replace($s, '|', '')) - 1
+        - (length($e) - length(replace($e, ' ', ''))) AS BIGINT)"""
+  }
+
+  private def nWs(e: String): String =
+    s"CAST(CASE WHEN $e = '' THEN 0 ELSE length($e) - length(replace($e, ' ', '')) + 1 END AS BIGINT)"
+
+  private def bpeCountSql(dialect: String): String =
+    s"""SELECT doc_id, lang,
+          ${nWs("text")} AS n_ws,
+          ${bpeCount("text", dialect)} AS n_bpe
+        FROM documents"""
 
   /** Tokenizer-grain counting over the corpus. */
   val qTextBpe = QDef(
@@ -100,27 +95,16 @@ object Bpe extends QModule {
     * TOKENIZER-token budgets, documents admitted in deterministic
     * content-hash order while the exact BIGINT running sum fits.
     */
-  private def bpeBudgetSql(dialect: String): String = {
-    val nTok = dialect match {
-      case "spark" =>
-        s"""aggregate(transform(filter(split(text, ' '), w -> w != ''),
-              w -> ${sparkTokens("w")}),
-            CAST(0 AS BIGINT), (s, t) -> s + size(t))"""
-      case _ =>
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(list_filter(string_split(text, ' '), w -> w != ''),
-                w -> CAST(len(${duckTokens("w")}) AS BIGINT))),
-            (s, t) -> s + t)"""
-    }
+  private def bpeBudgetSql(dialect: String): String =
     s"""
       SELECT lang, doc_id, n_tok, cum_tok FROM (
         SELECT lang, doc_id, n_tok,
                CAST(SUM(n_tok) OVER (PARTITION BY lang
                  ORDER BY md5(CAST(doc_id AS STRING)), doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
-        FROM (SELECT lang, doc_id, $nTok AS n_tok FROM documents) t) c
+        FROM (SELECT lang, doc_id, ${bpeCount("text", dialect)} AS n_tok
+              FROM documents) t) c
       WHERE cum_tok <= CASE lang WHEN 'en' THEN 9000 WHEN 'zh' THEN 4500 ELSE 2500 END"""
-  }
   val qStatBpeBudget = QDef(
     "q_stat_bpe_budget",
     sqlQ(bpeBudgetSql("spark")),

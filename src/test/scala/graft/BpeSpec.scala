@@ -27,21 +27,25 @@ class BpeSpec extends SparkSpecBase {
 
   private def engineTokens(word: String): Seq[String] = {
     val lit = "'" + word + "'"
-    spark.sql(s"SELECT ${Bpe.sparkTokens(lit)} AS t")
-      .collect().head.getSeq[String](0)
+    spark.sql(s"SELECT ${Bpe.tokenStream(lit, "spark")} AS t")
+      .collect().head.getString(0)
+      .split("\\|").filter(_.nonEmpty).toSeq
   }
 
-  test("merge-chain and doubled-letter greedy semantics (unit words)") {
-    // table builds through ta/bl/tabl/table; lll folds LEFT-first;
+  test("merge-chain and two-pass-replace greedy semantics (unit words)") {
+    // table builds through ta/bl/tabl/table; tatata... chains are the
+    // adversarial case for left-to-right replace (a match consumes the
+    // next site's shared delimiter — the second pass must recover it);
     // words with no applicable merge stay character-split.
     assert(engineTokens("table") === Seq("table"))
     assert(bpeRef("table") === Vector("table"))
-    assert(engineTokens("lll") === Seq("ll", "l"))
-    assert(engineTokens("llll") === Seq("ll", "ll"))
+    assert(engineTokens("tatata") === Seq("ta", "ta", "ta"))
+    assert(engineTokens("tatatatata") === Seq("ta", "ta", "ta", "ta", "ta"))
+    assert(engineTokens("tat") === Seq("ta", "t"))
     assert(engineTokens("xyz") === Seq("x", "y", "z"))
     assert(engineTokens("scanner") === Seq("scan", "n", "e", "r"))
-    for (w <- Seq("table", "lll", "llll", "xyz", "scanner", "value", "hash",
-        "partkey", "keyvalue", "tables", "a"))
+    for (w <- Seq("table", "tatata", "tatatatata", "tat", "xyz", "scanner",
+        "value", "hash", "partkey", "keyvalue", "tables", "a", "papapa"))
       assert(engineTokens(w) === bpeRef(w), s"engine diverged on '$w'")
   }
 
