@@ -191,6 +191,136 @@ object Dml extends QModule {
              FROM va WHERE NOT (o_orderstatus = 'O'))
       $cdfDiff"""))
 
+  // ---- Incremental view maintenance from the change feed ------------------
+  // The O(changes) refresh story: a materialized aggregate is brought
+  // up to date by MERGING the old view with signed contributions from
+  // the change feed — never by rescanning the base table. The feed is
+  // MATERIALIZED once as a catalog table in setup (the analog of a
+  // format's stored change files; computing it by snapshot diff costs
+  // the two scans q_dml_cdf prices — after that, refresh cost is
+  // O(|changes| + |groups|)). Algebra: SUM/COUNT are self-subtractable,
+  // so each changed row contributes (-old, +new) — group MOVES fall out
+  // for free (the update below moves rows 'P' → 'F'), inserts add a
+  // never-seen group, and a group whose count reaches zero drops.
+  // Exactness: contributions are summed in BIGINT money-units (the
+  // [[Exact]] pattern) so view0 + delta is bit-identical to a direct
+  // recompute — which is precisely what the DuckDB oracle does, so the
+  // hash match PROVES refreshed == recomputed.
+  private val ivmUnits = "CAST(FLOOR(%s * 1e4 + 0.5) AS BIGINT)"
+  private val ivmDiff = """
+      SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+             a.o_orderstatus AS ga, b.o_orderstatus AS gb,
+             a.o_totalprice AS pa, b.o_totalprice AS pb
+      FROM (SELECT * FROM graft_dml.dml_ivm VERSION AS OF 0) a
+      FULL OUTER JOIN (SELECT * FROM graft_dml.dml_ivm) b
+        ON a.o_orderkey = b.o_orderkey
+      WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+         OR a.o_orderstatus <> b.o_orderstatus
+         OR a.o_totalprice <> b.o_totalprice"""
+  val qDmlIvm = QDef(
+    "q_dml_ivm",
+    dmlQ(
+      Seq(
+        "DROP TABLE IF EXISTS graft_dml.dml_ivm",
+        "DROP TABLE IF EXISTS graft_dml.ivm_cdf",
+        """CREATE TABLE graft_dml.dml_ivm AS
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders""",
+        "DELETE FROM graft_dml.dml_ivm WHERE o_orderstatus = 'O' AND o_totalprice < 100000.0",
+        """UPDATE graft_dml.dml_ivm SET o_orderstatus = 'F', o_totalprice = o_totalprice + 10.0
+           WHERE o_orderstatus = 'P'""",
+        """INSERT INTO graft_dml.dml_ivm
+           SELECT o_orderkey + 100000000, 'N', o_totalprice FROM orders
+           WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0""",
+        s"CREATE TABLE graft_dml.ivm_cdf AS $ivmDiff"),
+      s"""
+      WITH mv0 AS (
+        SELECT o_orderstatus AS g, CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(${ivmUnits.format("o_totalprice")}) AS BIGINT) AS u0
+        FROM graft_dml.dml_ivm VERSION AS OF 0 GROUP BY o_orderstatus),
+      delta AS (
+        SELECT e.g AS g, CAST(SUM(e.dn) AS BIGINT) AS dn,
+               CAST(SUM(e.du) AS BIGINT) AS du
+        FROM (SELECT explode(filter(array(
+                CASE WHEN ka IS NOT NULL THEN named_struct(
+                  'g', ga, 'dn', CAST(-1 AS BIGINT),
+                  'du', -${ivmUnits.format("pa")}) END,
+                CASE WHEN kb IS NOT NULL THEN named_struct(
+                  'g', gb, 'dn', CAST(1 AS BIGINT),
+                  'du', ${ivmUnits.format("pb")}) END),
+              x -> x IS NOT NULL)) AS e
+              FROM graft_dml.ivm_cdf) t
+        GROUP BY e.g)
+      SELECT COALESCE(m.g, d.g) AS o_orderstatus,
+             CAST(COALESCE(m.n0, 0) + COALESCE(d.dn, 0) AS BIGINT) AS n,
+             CAST(COALESCE(m.u0, 0) + COALESCE(d.du, 0) AS DOUBLE) / 1e4 AS total
+      FROM mv0 m FULL OUTER JOIN delta d ON m.g = d.g
+      WHERE COALESCE(m.n0, 0) + COALESCE(d.dn, 0) > 0"""),
+    Some(s"""
+      WITH v1 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 100000.0)
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'N', o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 400000.0)
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(CAST(SUM(${ivmUnits.format("o_totalprice")}) AS BIGINT) AS DOUBLE) / 1e4 AS total
+      FROM v1 GROUP BY o_orderstatus"""))
+
+  // Holistic aggregates (MIN/MAX) are NOT self-subtractable — a deleted
+  // row that held the group minimum invalidates the old value — so the
+  // IVM form is DIRTY-GROUP recompute: groups touched by the feed
+  // recompute from the latest snapshot (with group-partitioned storage
+  // that scan is partition-pruned to the dirty groups), untouched groups
+  // pass their old view rows through unread. The downward UPDATE below
+  // makes the recompute load-bearing (the old max of '3-MEDIUM' is gone);
+  // three of five priority groups stay clean and ride the passthrough.
+  val qDmlIvmMinmax = QDef(
+    "q_dml_ivm_minmax",
+    dmlQ(
+      Seq(
+        "DROP TABLE IF EXISTS graft_dml.dml_ivmm",
+        "DROP TABLE IF EXISTS graft_dml.ivmm_dirty",
+        """CREATE TABLE graft_dml.dml_ivmm AS
+           SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders""",
+        "DELETE FROM graft_dml.dml_ivmm WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 120000.0",
+        """UPDATE graft_dml.dml_ivmm SET o_totalprice = o_totalprice * 0.5
+           WHERE o_orderpriority = '3-MEDIUM' AND o_totalprice > 300000.0""",
+        """CREATE TABLE graft_dml.ivmm_dirty AS
+           SELECT DISTINCT g FROM (
+             SELECT explode(filter(array(a.o_orderpriority, b.o_orderpriority),
+                    x -> x IS NOT NULL)) AS g
+             FROM (SELECT * FROM graft_dml.dml_ivmm VERSION AS OF 0) a
+             FULL OUTER JOIN (SELECT * FROM graft_dml.dml_ivmm) b
+               ON a.o_orderkey = b.o_orderkey
+             WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+                OR a.o_totalprice <> b.o_totalprice) t"""),
+      """
+      WITH mv0 AS (
+        SELECT o_orderpriority AS g, MIN(o_totalprice) AS mn,
+               MAX(o_totalprice) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+        FROM graft_dml.dml_ivmm VERSION AS OF 0 GROUP BY o_orderpriority)
+      SELECT o_orderpriority AS g, MIN(o_totalprice) AS mn,
+             MAX(o_totalprice) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+      FROM graft_dml.dml_ivmm
+      WHERE o_orderpriority IN (SELECT g FROM graft_dml.ivmm_dirty)
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT g, mn, mx, n FROM mv0
+      WHERE g NOT IN (SELECT g FROM graft_dml.ivmm_dirty)"""),
+    Some("""
+      WITH v1 AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderpriority = '3-MEDIUM' AND o_totalprice > 300000.0
+                    THEN o_totalprice * 0.5 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 120000.0))
+      SELECT o_orderpriority AS g, MIN(o_totalprice) AS mn,
+             MAX(o_totalprice) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v1 GROUP BY o_orderpriority"""))
+
   def defs: Seq[QDef] = Seq(qDmlDelete, qDmlUpdate, qDmlMerge, qDmlTimetravel,
-    qDmlCdf)
+    qDmlCdf, qDmlIvm, qDmlIvmMinmax)
 }
