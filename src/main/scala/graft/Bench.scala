@@ -235,7 +235,7 @@ object Bench {
       "q_sim_quant_topk", "q_sim_pq_topk", "q_sim_ivfpq_topk",
       "q_sim_mrl_topk", "q_dedup_minhash", "q_dedup_jaccard",
       "q_dedup_semantic", "q_dedup_fuzzy_decontam", "q_src_cache",
-      "q_graph_triangles", "q_dedup_incremental")
+      "q_graph_triangles", "q_dedup_incremental", "q_graph_cycle")
     val buildS = perQueryR1.collect {
       case (n, r1) if memoized(n) && r1 >= 0 && r1 - steadyByName(n) >= 0.05 =>
         n -> (r1 - steadyByName(n))

@@ -349,5 +349,96 @@ object Graph extends QModule {
       GROUP BY v"""),
     bench = true)
 
-  val defs: Seq[QDef] = Seq(qGraphSssp, qGraphCc, qGraphRank, qGraphTriangles)
+  // ------------------------------------------- functional-graph cyclic core
+
+  /** The part↔supplier argmin pointer graph: every part points at the
+    * supplier of its cheapest lineitem row, every supplier at the part of
+    * its cheapest row (ties broken by the unique (orderkey, linenumber) —
+    * fully deterministic). Out-degree exactly 1 ⇒ each weak component is
+    * ρ-shaped: ONE directed cycle with trees hanging off it. Shared
+    * Spark∩DuckDB text.
+    */
+  private[graft] val cycleGraphSql = """
+    WITH ps AS (SELECT l_partkey p, l_suppkey s, l_extendedprice pr,
+                       l_orderkey ok, l_linenumber ln FROM lineitem),
+    p2s AS (SELECT p, s FROM (SELECT p, s,
+              ROW_NUMBER() OVER (PARTITION BY p ORDER BY pr, ok, ln) rn FROM ps) t
+            WHERE rn = 1),
+    s2p AS (SELECT s, p FROM (SELECT s, p,
+              ROW_NUMBER() OVER (PARTITION BY s ORDER BY pr, ok, ln) rn FROM ps) t
+            WHERE rn = 1)
+    SELECT p AS v, 10000000 + s AS succ FROM p2s
+    UNION ALL SELECT 10000000 + s AS v, p AS succ FROM s2p"""
+
+  /** Cyclic-core decomposition of a functional (out-degree-1) graph by
+    * POINTER DOUBLING — the ρ-shape primitive (cycle detection in
+    * canonical-pointer chains, successor structures, pseudorandom-walk
+    * analysis). After K ≥ ⌈log₂ n⌉ doublings, `ptr(v) = succ^(2^K)(v)`
+    * lands ON v's component cycle for EVERY v (any walk of length ≥ n
+    * is inside the cycle), so:
+    *   - the cycle-vertex set is exactly the image of `ptr` (nothing
+    *     points 2^K steps ahead at a tree vertex — tree depth < n);
+    *   - carrying `mn = min(id over the walk)` through the doubling
+    *     gives, at any cycle vertex, exactly its cycle's min id (the
+    *     walk covers the cycle and never leaves it) — the component
+    *     label every vertex reads by ONE final join through `ptr`.
+    *
+    * Scale (100 TB): K = ⌈log₂ n⌉+1 rounds, each ONE n-row self-join
+    * (the probe side re-hashes on the moving pointer; the build side is
+    * the checkpointed table) — O(n log n) total work, O(log n) shuffles,
+    * vs Θ(cycle length) rounds for naive walking (the same doubling-vs-
+    * propagation trade as [[graft.operators.Components.starContract]]).
+    * Each round snaps through [[graft.operators.Iterate]] so stats can't
+    * square across the self-join and lineage stays flat. The DuckDB
+    * oracle runs the same doubling at FIXED K=24 (2^24 ≥ any fixture;
+    * outputs are K-invariant above the threshold) via MATERIALIZED CTEs;
+    * the ScalaTest spec re-derives everything with an independent
+    * plain-Scala pointer walker.
+    */
+  val qGraphCycle = QDef(
+    "q_graph_cycle",
+    (s, d) => {
+      val ptr = graft.SessionCache.memo(s, s"cycle-ptr:$d") {
+        graft.Tables.register(s, d)
+        val f0 = s.sql(cycleGraphSql)
+        val n = f0.count() // exact round count: one tiny job, once per (session, dir)
+        val k = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 1
+        var cur = graft.operators.Iterate.snap(
+          f0.select(col("v"), col("succ").as("p"),
+            least(col("v"), col("succ")).as("mn")), reliable = false)
+        val trail = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
+        for (_ <- 1 to k.toInt) {
+          val b = cur.select(col("v").as("v2"), col("p").as("p2"), col("mn").as("mn2"))
+          cur = graft.operators.Iterate.snap(
+            cur.join(b, col("p") === col("v2"))
+              .select(col("v"), col("p2").as("p"),
+                least(col("mn"), col("mn2")).as("mn")), reliable = false)
+          trail += cur
+        }
+        trail.dropRight(1).foreach(_.unpersist())
+        cur
+      }
+      val core = ptr.select(col("v").as("v2"), col("mn").as("mn2"))
+      val cyc = ptr.select(col("p").as("cv")).distinct()
+      ptr.join(core, col("p") === col("v2"))
+        .join(cyc, col("v") === col("cv"), "left")
+        .select(col("v").as("id"), col("mn2").as("core"),
+          col("cv").isNotNull.as("on_cycle"))
+    },
+    Some {
+      val k = 24
+      val levels = (1 to k).map(i =>
+        s"d$i AS MATERIALIZED (SELECT a.v, b.p, LEAST(a.mn, b.mn) AS mn " +
+          s"FROM d${i - 1} a JOIN d${i - 1} b ON a.p = b.v)").mkString(",\n")
+      s"""
+      WITH f AS MATERIALIZED ($cycleGraphSql),
+      d0 AS MATERIALIZED (SELECT v, succ AS p, LEAST(v, succ) AS mn FROM f),
+      $levels
+      SELECT a.v AS id, b.mn AS core, a.v IN (SELECT p FROM d$k) AS on_cycle
+      FROM d$k a JOIN d$k b ON a.p = b.v"""
+    },
+    bench = true)
+
+  val defs: Seq[QDef] = Seq(qGraphSssp, qGraphCc, qGraphRank, qGraphTriangles,
+    qGraphCycle)
 }

