@@ -104,7 +104,7 @@ object Sim extends QModule {
     val df = graft.SessionCache.memo(s, s"sim_plane_dots:$d") {
       graft.Tables.register(s, d)
       val dotCols = (0 until 8).map(j => s"dot_f(embedding, ${planeLit(j)}) AS d$j").mkString(", ")
-      s.sql(s"""SELECT vec_id, embedding,
+      s.sql(s"""SELECT vec_id, label, embedding,
                        sqrt(dot_f(embedding, embedding)) AS nrm, $dotCols
                 FROM embeddings""").persist()
     }
@@ -180,6 +180,67 @@ object Sim extends QModule {
     },
     Some(lshTopkDuckSql),
     bench = true)
+
+  // ------------------------------------------------ contrastive triplet mining
+
+  /** Triplet mining for contrastive training — per anchor: the hardest
+    * POSITIVE (most-similar same-label vector) and hardest NEGATIVE
+    * (most-similar different-label vector) plus the contrastive margin.
+    * Runs on the LSH-bucketed candidate path (the 100 TB shape shared
+    * with [[qSimLshTopk]]: candidates meet only inside a 4-plane bucket,
+    * off the memoized plane-dots table — never the n² cross join); bucket
+    * recall is the documented LSH trade, and the oracle mirrors the same
+    * bucketing so the hash-compare proves the mining computation. An
+    * anchor whose bucket lacks a same- or different-label partner drops
+    * (inner join) — the batch-construction rule for triplet loss.
+    * margin = pos_sim − neg_sim: the per-anchor difficulty signal a
+    * curriculum sampler orders by (both sides compute the identical two
+    * doubles, so the subtraction is bit-exact).
+    */
+  private def tripletsFrom(eSql: String, d: (String, String) => String): String =
+    s"""
+      WITH e AS ($eSql),
+      q AS (SELECT vec_id AS q_id, label AS ql, embedding AS qe, nrm AS qn,
+                   bucket AS qb
+            FROM e WHERE vec_id < 20),
+      cand AS (SELECT q.q_id, q.ql, e.label AS nl, e.vec_id AS n_id,
+                      ${d("qe", "e.embedding")} / (qn * e.nrm) AS cos_sim
+               FROM q JOIN e ON e.bucket = q.qb AND e.vec_id <> q.q_id),
+      pos AS (SELECT q_id, n_id AS pos_id, cos_sim AS pos_sim,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rnk
+              FROM cand WHERE nl = ql),
+      neg AS (SELECT q_id, n_id AS neg_id, cos_sim AS neg_sim,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos_sim DESC, n_id) AS INTEGER) AS rnk
+              FROM cand WHERE nl <> ql)
+      SELECT p.q_id, pos_id, pos_sim, neg_id, neg_sim,
+             pos_sim - neg_sim AS margin
+      FROM (SELECT q_id, pos_id, pos_sim FROM pos WHERE rnk = 1) p
+      JOIN (SELECT q_id, neg_id, neg_sim FROM neg WHERE rnk = 1) n
+        ON p.q_id = n.q_id"""
+
+  private val tripletsDuckSql: String = {
+    val planes4 = (0 until 4).map { j =>
+      s"CASE WHEN ${dot("duck", "embedding", planeDuck(j))} >= 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    val d = (a: String, b: String) => dot("duck", a, b)
+    tripletsFrom(
+      s"""SELECT vec_id, label, embedding, ($planes4) AS bucket,
+                 sqrt(${d("embedding", "embedding")}) AS nrm FROM embeddings""",
+      d)
+  }
+
+  val qSimTriplets = QDef(
+    "q_sim_triplets",
+    (s, d) => {
+      val v = dotsView(s, d)
+      s.sql(tripletsFrom(
+        s"""SELECT vec_id, label, embedding, nrm,
+                   CAST(${packSql(4)} AS INTEGER) AS bucket FROM $v""",
+        (a, b) => s"dot_f($a, $b)"))
+    },
+    Some(tripletsDuckSql))
 
   /** Element-wise vector mean per label — the coarse-quantizer training
     * step of an IVF index (PAPERS.md ANN survey): centroid[pos] =
@@ -1136,7 +1197,7 @@ object Sim extends QModule {
     Some(mrlTopkSql("duck")))
 
   val defs: Seq[QDef] = Seq(
-    qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimCentroid, qSimIvf,
-    qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimKnnJoin, qSimQuantTopk,
-    qSimPqTopk, qSimIvfPqTopk, qSimCellQuota, qSimMrlTopk)
+    qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimTriplets, qSimCentroid,
+    qSimIvf, qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimKnnJoin,
+    qSimQuantTopk, qSimPqTopk, qSimIvfPqTopk, qSimCellQuota, qSimMrlTopk)
 }
