@@ -729,9 +729,67 @@ object Dedup extends QModule {
       WHERE d.doc_id > (SELECT t FROM thr)"""),
     bench = true)
 
+  /** Leakage-safe train/val/test split — the eval-integrity twin of
+    * decontamination: assigning SPLITS to near-dup CLUSTERS (not to
+    * documents) guarantees no near-duplicate pair ever straddles
+    * train/eval, which per-doc hashing silently violates for every dup
+    * pair it splits. The cluster label comes from the oracle-checked
+    * star-contraction clustering; the split is a pure deterministic
+    * function of the cluster id (first md5 hex char: < 'c' train 12/16,
+    * < 'e' val 2/16, else test — a plain string compare both engines
+    * evaluate identically), so the assignment is stable under retries,
+    * cluster sizes, and engine. Scale: clustering is the O(log n)
+    * star-contraction already priced; the split itself is a projection.
+    */
+  val qStatLeakageSplit = QDef(
+    "q_stat_leakage_split",
+    (s, d) => {
+      val rep = graft.operators.Components
+        .labelPropagate(qDedupJaccard.fn(s, d).select("a_id", "b_id"),
+          "a_id", "b_id", star = true)
+        .select(col("id").as("rid"), col("label").as("rep"))
+      t(s, d, "documents").select("doc_id")
+        .join(rep, col("doc_id") === col("rid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("cluster"))
+        .selectExpr("doc_id", "cluster",
+          """CASE WHEN substring(md5(CAST(cluster AS STRING)), 1, 1) < 'c' THEN 'train'
+                  WHEN substring(md5(CAST(cluster AS STRING)), 1, 1) < 'e' THEN 'val'
+                  ELSE 'test' END AS split""")
+    },
+    Some(s"""
+      WITH RECURSIVE $shinglesSqlDuck, $minhashSqlDuck, $bandsSqlDuck, $candSqlDuck,
+      sdist AS (SELECT DISTINCT doc_id, s FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS nsh FROM sdist GROUP BY doc_id),
+      inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+                FROM cand c
+                JOIN sdist sa ON sa.doc_id = c.a_id
+                JOIN sdist sb ON sb.doc_id = c.b_id AND sb.s = sa.s
+                GROUP BY c.a_id, c.b_id),
+      jac AS (SELECT i.a_id, i.b_id
+              FROM inter i JOIN sz za ON za.doc_id = i.a_id
+                           JOIN sz zb ON zb.doc_id = i.b_id
+              WHERE i.inter / (za.nsh + zb.nsh - i.inter) >= 0.5),
+      e AS (SELECT a_id AS a, b_id AS b FROM jac
+            UNION SELECT b_id AS a, a_id AS b FROM jac),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      rep AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep
+              FROM reach GROUP BY a),
+      labeled AS (
+        SELECT d.doc_id, COALESCE(r.rep, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN rep r ON r.doc_id = d.doc_id)
+      SELECT doc_id, cluster,
+             CASE WHEN substring(md5(CAST(cluster AS STRING)), 1, 1) < 'c' THEN 'train'
+                  WHEN substring(md5(CAST(cluster AS STRING)), 1, 1) < 'e' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM labeled"""))
+
   val defs: Seq[QDef] = Seq(
     qDedupExact, qDedupNorm, qDedupMinhash, qDedupJaccard, qDedupSimhash,
     qDedupCluster, qDedupClusterStar, qDedupCanonical,
     qDedupSubstr, qDedupSubstrSpans, qDedupCutSpans, qDedupCuratePipeline,
-    qDedupFuzzyDecontam, qDedupIncremental)
+    qDedupFuzzyDecontam, qDedupIncremental, qStatLeakageSplit)
 }

@@ -95,4 +95,26 @@ class CurationSpec extends SparkSpecBase {
       got.count(_._1 == "de") == 10, s"unexpected per-lang counts in $got")
     assert(got == want)
   }
+
+  test("q_stat_leakage_split: no verified near-dup pair straddles a split") {
+    // The eval-integrity invariant stated directly: for every verified
+    // Jaccard pair, both docs carry the same cluster AND the same split
+    // (per-doc hashing would violate this for every split dup pair); the
+    // split covers every document exactly once and all three splits are
+    // inhabited at fixture scale.
+    val split = SparkEntry.queries("q_stat_leakage_split")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val docs = Tables.load(spark, sf, "documents").count()
+    assert(split.size.toLong == docs, "split must cover every document once")
+    val pairs = graft.queries.Dedup.qDedupJaccard.fn(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain verified near-dup pairs")
+    for ((a, b) <- pairs) {
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) in different clusters")
+      assert(split(a)._2 == split(b)._2, s"near-dup pair ($a,$b) straddles splits")
+    }
+    val frac = split.values.groupBy(_._2).view.mapValues(_.size.toDouble / split.size)
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(frac("train") > 0.5, s"train fraction off: $frac")
+  }
 }
