@@ -110,5 +110,31 @@ object Bpe extends QModule {
     sqlQ(bpeBudgetSql("spark")),
     Some(bpeBudgetSql("duck")))
 
-  val defs: Seq[QDef] = Seq(qTextBpe, qStatBpeBudget)
+  /** Sequence packing at the BPE grain — q_text_pack's twin with the
+    * tokenizer token count as the unit and a 1024-token context window
+    * (BPE counts run ~2× whitespace words on this corpus): greedy
+    * deterministic-order packing with exact BIGINT running offsets, so
+    * every engine/retry computes the same bin placement. Same scale
+    * shape: one lang-keyed exchange, one ordered window.
+    */
+  val qTextBpePack: QDef = {
+    def sql(dialect: String): String = s"""
+      WITH toks AS (
+        SELECT doc_id, lang, ${bpeCount("text", dialect)} AS n_tok
+        FROM documents),
+      cum AS (
+        SELECT doc_id, lang, n_tok,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY lang
+                                         ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM toks)
+      SELECT doc_id, lang, n_tok,
+             CAST(FLOOR(CAST(cum_before AS DOUBLE) / 1024.0) AS BIGINT) AS first_bin,
+             CAST(FLOOR(CAST(cum_before + n_tok - 1 AS DOUBLE) / 1024.0) AS BIGINT) AS last_bin,
+             CAST(cum_before % 1024 AS BIGINT) AS bin_offset
+      FROM cum"""
+    QDef("q_text_bpe_pack", sqlQ(sql("spark")), Some(sql("duck")))
+  }
+
+  val defs: Seq[QDef] = Seq(qTextBpe, qStatBpeBudget, qTextBpePack)
 }
