@@ -136,5 +136,90 @@ object Bpe extends QModule {
     QDef("q_text_bpe_pack", sqlQ(sql("spark")), Some(sql("duck")))
   }
 
-  val defs: Seq[QDef] = Seq(qTextBpe, qStatBpeBudget, qTextBpePack)
+  /** BPE vocabulary TRAINING — learn the merge table from the corpus
+    * instead of assuming one: K iterations of "count adjacent token
+    * pairs (within words), merge the most frequent" — the actual BPE
+    * training loop (Sennrich 2016), expressed relationally. Each
+    * iteration is ONE corpus pass: a pair-explode into a map-side-
+    * combinable count (distinct pairs are vocabulary-bounded, so the
+    * shuffle carries |vocab|² partials per map task, independent of
+    * corpus size), a 1-row argmax to the driver (the bounds-probe
+    * precedent — the learned pair IS driver state, it parameterizes the
+    * next plan), and the two-pass-replace merge application from
+    * [[tokenStream]]. The token stream snaps through `Iterate` per
+    * round (lineage stays flat; previous generation released).
+    *
+    * Determinism: argmax ties break on (count DESC, left, right) — the
+    * learned table is engine/retry/partitioning-stable, which is why
+    * the DuckDB oracle (the same loop as K MATERIALIZED CTE levels with
+    * scalar-subquery merge parameters) hash-matches it, and `BpeSpec`
+    * re-learns the table with an independent plain-Scala trainer.
+    *
+    * Scale (100 TB): K corpus passes is the honest cost of BPE training
+    * (production trainers pay the same passes with delta tricks); the
+    * per-pass shuffle is vocabulary-bounded, never corpus-bounded.
+    */
+  val TrainIters = 8
+
+  val qTextBpeTrain = QDef(
+    "q_text_bpe_train",
+    (s, d) => {
+      import s.implicits._
+      graft.Tables.register(s, d)
+      var st = graft.operators.Iterate.snap(
+        s.sql("SELECT concat(regexp_replace(text, '(.)', '|$1'), '|') AS st FROM documents"),
+        reliable = false)
+      val merges = Seq.newBuilder[(Int, String, String)]
+      for (k <- 1 to TrainIters) {
+        val top = st
+          .selectExpr("filter(split(st, '[|]'), t -> t != '') AS w")
+          .where("size(w) >= 2")
+          .selectExpr("explode(transform(sequence(1, size(w) - 1), " +
+            "i -> named_struct('l', element_at(w, i), 'r', element_at(w, i + 1)))) AS p")
+          .selectExpr("p.l AS l", "p.r AS r")
+          .where("l <> ' ' AND r <> ' '")
+          .groupBy("l", "r").count()
+          .orderBy(org.apache.spark.sql.functions.col("count").desc,
+            org.apache.spark.sql.functions.col("l"),
+            org.apache.spark.sql.functions.col("r"))
+          .limit(1).head()
+        val (l, r) = (top.getString(0), top.getString(1))
+        // tokens are corpus characters and their concatenations; anything
+        // that could break the spliced literal fails LOUDLY, never quietly
+        require((l + r).matches("[\\w]+"),
+          s"BPE training learned a non-word token pair ('$l','$r') — " +
+            "quote-escape the merge literals before widening the alphabet")
+        val prev = st
+        st = graft.operators.Iterate.snap(
+          st.selectExpr(
+            s"replace(replace(st, '|$l|$r|', '|$l$r|'), '|$l|$r|', '|$l$r|') AS st"),
+          reliable = false)
+        prev.unpersist()
+        merges += ((k, l, r))
+      }
+      st.unpersist()
+      merges.result().toDF("rank", "l", "r")
+    },
+    Some {
+      val parts = scala.collection.mutable.ArrayBuffer(
+        "t0 AS MATERIALIZED (SELECT concat(regexp_replace(text, '(.)', '|\\1', 'g'), '|') AS st FROM documents)")
+      val sel = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (k <- 1 to TrainIters) {
+        val prev = s"t${k - 1}"
+        parts += s"""p$k AS MATERIALIZED (
+          SELECT l, r FROM (
+            SELECT pr[1] AS l, pr[2] AS r, COUNT(*) AS cnt
+            FROM (SELECT unnest(list_zip(w, w[2:])) AS pr
+                  FROM (SELECT list_filter(string_split(st, '|'), t -> t <> '') AS w FROM $prev))
+            WHERE pr[1] <> ' ' AND pr[2] <> ' ' AND pr[2] IS NOT NULL
+            GROUP BY 1, 2) x ORDER BY cnt DESC, l, r LIMIT 1)"""
+        val pat = s"'|' || (SELECT l FROM p$k) || '|' || (SELECT r FROM p$k) || '|'"
+        val tgt = s"'|' || (SELECT l FROM p$k) || (SELECT r FROM p$k) || '|'"
+        parts += s"t$k AS MATERIALIZED (SELECT replace(replace(st, $pat, $tgt), $pat, $tgt) AS st FROM $prev)"
+        sel += s"SELECT $k AS rank, l, r FROM p$k"
+      }
+      "WITH " + parts.mkString(",\n") + "\n" + sel.mkString(" UNION ALL ")
+    })
+
+  val defs: Seq[QDef] = Seq(qTextBpe, qStatBpeBudget, qTextBpePack, qTextBpeTrain)
 }

@@ -64,6 +64,41 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("q_text_bpe_train learns the same merge table as a plain-Scala trainer") {
+    // Independent reimplementation of the training loop: token streams as
+    // Vector[String], pair counts in a Map, greedy (count DESC, l, r)
+    // argmax, literal greedy merge application — no Spark, no SQL, no
+    // string-replace trick (the merge applies on token VECTORS).
+    val docs = Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    var streams: Array[Vector[String]] =
+      docs.map(_.split("").filter(_.nonEmpty).toVector)
+    val want = (1 to Bpe.TrainIters).map { k =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (s <- streams; (a, b) <- s.zip(s.drop(1)) if a != " " && b != " ")
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+      val ((l, r), _) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      streams = streams.map { s =>
+        var acc = Vector.empty[String]
+        for (x <- s) {
+          if (acc.nonEmpty && acc.last == l && x == r) acc = acc.init :+ (l + r)
+          else acc = acc :+ x
+        }
+        acc
+      }
+      (k, l, r)
+    }
+    val got = graft.queries.Bpe.qTextBpeTrain.fn(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(_._1)
+    assert(got === want, "learned merge table diverged from the reference trainer")
+    // sanity: at least one learned merge must COMPOSE (one side is itself
+    // a merged token), proving the iterations feed each other
+    val singles = got.map(m => m._2 + m._3)
+    assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
+      s"no compositional merge learned in ${Bpe.TrainIters} iters: $singles")
+  }
+
   test("budget cut is the token-budget window at the BPE grain") {
     // Every admitted doc fits its language budget, and the cut is tight:
     // cum_tok is the exact running sum in md5(doc_id) order.
