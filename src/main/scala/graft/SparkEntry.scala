@@ -15,7 +15,7 @@ object SparkEntry {
   val all: Seq[QDef] = {
     val defs = Seq(
       qm.Agg, qm.Joins, qm.Windows, qm.SetOps, qm.Subq, qm.Scalars, qm.Ev, qm.Ntz,
-      qm.Text, qm.Bpe, qm.Dedup, qm.Sim, qm.Graph, qm.Extra, qm.Sql, qm.Dml, qm.Stats,
+      qm.Text, qm.Bpe, qm.Dedup, qm.Sim, qm.Apss, qm.Graph, qm.Extra, qm.Sql, qm.Dml, qm.Stats,
       qm.Pipeline, qm.Tpch, qm.Tpch2, qm.Tpcds2, qm.Tpcds3, qm.Tpcds4,
       qm.Tpcds5, qm.Tpcds6, qm.Tpcds7, qm.Tpcds8, qm.Tpcds9, qm.Tpcds10,
       qm.Tpcds11, qm.Tpcds12, qm.Tpcds13, qm.Ssb).flatMap(_.defs)
