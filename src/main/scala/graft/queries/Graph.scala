@@ -439,6 +439,59 @@ object Graph extends QModule {
     },
     bench = true)
 
+  // --------------------------------------------------- k-core decomposition
+
+  /** The repeat-co-purchase graph: parts co-purchased in >= 2 DISTINCT
+    * orders (the single-co-occurrence edges that make the raw
+    * co-purchase graph a min-degree-42 quasi-clique are noise for
+    * cohesion mining). Shared Spark∩DuckDB text; symmetric.
+    */
+  private[graft] val kcoreEdgesSql = """
+    WITH e0 AS (
+      SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      GROUP BY l1.l_partkey, l2.l_partkey
+      HAVING COUNT(DISTINCT l1.l_orderkey) >= 2)
+    SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0"""
+
+  /** 3-core of the repeat-co-purchase graph via [[graft.operators.KCore]]
+    * iterative peeling — at sf0.01 the peel cascades 11 rounds to a
+    * 935-vertex core (a real fixpoint iteration, not a single filter).
+    * Output: every core vertex with its within-core degree. The DuckDB
+    * oracle peels the same graph as K=20 MATERIALIZED CTE levels —
+    * peeling is idempotent past convergence, so the output is
+    * K-invariant above the peel depth and the hash gate pins that the
+    * loop CONVERGED to the same fixpoint (the q_graph_cycle oracle
+    * pattern); the ScalaTest spec peels constructed and randomized
+    * graphs with an independent plain-Scala peeler.
+    */
+  val qGraphKcore = QDef(
+    "q_graph_kcore",
+    (s, d) => {
+      val edges = graft.SessionCache.memo(s, s"kcore-edges:$d") {
+        graft.Tables.register(s, d)
+        s.sql(kcoreEdgesSql).persist()
+      }
+      graft.operators.KCore.run(edges, k = 3)
+    },
+    Some {
+      val k = 20
+      val levels = (1 to k).map(i =>
+        s"a$i AS MATERIALIZED (SELECT u AS v FROM e " +
+          s"WHERE u IN (SELECT v FROM a${i - 1}) AND v IN (SELECT v FROM a${i - 1}) " +
+          "GROUP BY u HAVING COUNT(*) >= 3)").mkString(",\n")
+      s"""
+      WITH e AS MATERIALIZED ($kcoreEdgesSql),
+      a0 AS MATERIALIZED (SELECT DISTINCT u AS v FROM e),
+      $levels
+      SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM e
+      WHERE u IN (SELECT v FROM a$k) AND v IN (SELECT v FROM a$k)
+      GROUP BY u"""
+    },
+    bench = true)
+
   val defs: Seq[QDef] = Seq(qGraphSssp, qGraphCc, qGraphRank, qGraphTriangles,
-    qGraphCycle)
+    qGraphCycle, qGraphKcore)
 }
