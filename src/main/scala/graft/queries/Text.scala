@@ -572,10 +572,84 @@ object Text extends QModule {
     sqlQ(bm25Sql("spark")),
     Some(bm25Sql("duck")))
 
+  /** Out-of-fold Naive-Bayes classification — the seed-classifier shape
+    * of model-based curation (train a cheap classifier on labeled seed
+    * docs, score the corpus with it): multinomial NB with add-one
+    * smoothing is TRAINED on the md5-split train docs (the exact split
+    * of q_stat_split, so train/score never overlap) and SCORES the test
+    * docs, predicting `lang` per doc by argmax.
+    *
+    * Every quantity is an exact integer: per-(class, term) counts,
+    * per-class token totals, doc-count priors, and the vocabulary size
+    * are COUNTs; each log factor enters as its flip-proof FLOOR(LOG2)
+    * bucket (the q_text_lmscore argument: for integer x, log2 is exact
+    * or >= 1/(x*ln2) from the nearest integer, so the bucket can never
+    * flip between engines), and the doc score is
+    *   bucket(D_c) + sum_w cnt_w * bucket(C_cw + 1) - n_d * bucket(T_c + V)
+    * — a BIGINT. Argmax ties break on the class name, so the prediction
+    * is fully deterministic. Scale (100 TB): training is one corpus
+    * pass (map-side-combinable (class, term) counts); scoring joins
+    * test tokens to the model on the term key and meets each of the L
+    * classes once per distinct doc term — a production deployment
+    * prunes the model to top-K terms and broadcasts it, same plan
+    * shape. The whole train+score pipeline is ONE declarative plan.
+    *
+    * The fixture's `lang` labels are text-INDEPENDENT (every lang draws
+    * from the same synthetic vocabulary — measured: full-precision NB
+    * lands at chance level too), so fixture accuracy is meaningless by
+    * construction; the oracle gate pins the exact train/score
+    * arithmetic, and `CurationSpec` proves the classifier LEARNS —
+    * planted per-class vocabularies are recovered at 100% out-of-fold
+    * accuracy.
+    */
+  private def nbayesSql(dialect: String): String = {
+    val (pos, ex) = dialect match {
+      case "spark" => ("instr", "explode")
+      case _       => ("strpos", "unnest")
+    }
+    val split_ = dialect match { case "spark" => "split"; case _ => "string_split" }
+    val hexDig = (i: Int) =>
+      s"($pos('0123456789abcdef', substring(md5(CAST(doc_id AS STRING)), $i, 1)) - 1)"
+    def bkt(x: String) = s"CAST(FLOOR(LOG2(CAST($x AS DOUBLE))) AS BIGINT)"
+    s"""
+      WITH tagged AS (
+        SELECT doc_id, lang, text, 16 * ${hexDig(1)} + ${hexDig(2)} AS h
+        FROM documents),
+      ttok AS (
+        SELECT lang, $ex($split_(lower(text), ' ')) AS w FROM tagged WHERE h < 205),
+      cw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM ttok GROUP BY lang, w),
+      tc AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cw GROUP BY lang),
+      dc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS dn FROM tagged WHERE h < 205 GROUP BY lang),
+      vb AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM ttok),
+      qt AS (
+        SELECT doc_id, true_lang, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+          SELECT doc_id, lang AS true_lang, $ex($split_(lower(text), ' ')) AS w
+          FROM tagged WHERE h >= 230)
+        GROUP BY doc_id, true_lang, w),
+      sc AS (
+        SELECT qt.doc_id, qt.true_lang, tc.lang AS cand,
+               CAST(MIN(${bkt("dc.dn")})
+                 + SUM(qt.cnt * ${bkt("COALESCE(cw.c, 0) + 1")})
+                 - SUM(qt.cnt) * MIN(${bkt("tc.t + vb.v")}) AS BIGINT) AS score_bits
+        FROM qt CROSS JOIN tc CROSS JOIN vb
+        JOIN dc ON dc.lang = tc.lang
+        LEFT JOIN cw ON cw.lang = tc.lang AND cw.w = qt.w
+        GROUP BY qt.doc_id, qt.true_lang, tc.lang)
+      SELECT doc_id, true_lang, cand AS pred_lang, score_bits,
+             CAST(CASE WHEN cand = true_lang THEN 1 ELSE 0 END AS INT) AS hit
+      FROM (SELECT sc.*, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY score_bits DESC, cand) AS rk FROM sc)
+      WHERE rk = 1"""
+  }
+  val qTextNbayes = QDef(
+    "q_text_nbayes",
+    sqlQ(nbayesSql("spark")),
+    Some(nbayesSql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qTextQuality, qTextLangid, qTextTokens, qTextFprint, qTextRollhash,
     qTextRepetition, qTextNgramFreq, qTextChunks, qTextPack, qTextDecontam,
     qTextRedact, qTextLmScore, qTextShuffle, qTextDedupLines, qTextTfidf,
-    qTextDsir, qTextBm25)
+    qTextDsir, qTextBm25, qTextNbayes)
 }
 

@@ -117,4 +117,35 @@ class CurationSpec extends SparkSpecBase {
     assert(frac.keySet == Set("train", "val", "test"))
     assert(frac("train") > 0.5, s"train fraction off: $frac")
   }
+
+  test("q_text_nbayes recovers planted class vocabularies out-of-fold") {
+    val dir = "synth://nbayes"
+    // Three classes with DISJOINT planted vocabularies plus shared noise
+    // words — the signal a seed classifier must pick up. The fixture
+    // corpus can't show this (its lang labels are text-independent);
+    // this corpus can: out-of-fold accuracy must be 100%.
+    val vocab = Map("aa" -> "alpha beta gamma", "bb" -> "delta eps zeta",
+      "cc" -> "theta iota kappa")
+    val docs = (1L to 200L).map { i =>
+      val c = Seq("aa", "bb", "cc")((i % 3).toInt)
+      (i, s"${vocab(c)} noise common word ${vocab(c)}", c)
+    }
+    seedDocs(dir, docs)
+    // replicate the md5 split to know which docs are scored
+    def h(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(2), 16)
+    }
+    val expectTest = docs.filter(d => h(d._1) >= 230).map(d => d._1 -> d._3).toMap
+    assert(expectTest.size == 20)
+    val rows = SparkEntry.queries("q_text_nbayes")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(4)))
+    assert(rows.map(_._1).toSet == expectTest.keySet, "scored docs != md5 test slice")
+    for ((id, tru, pred, hit) <- rows) {
+      assert(tru == expectTest(id))
+      assert(pred == tru, s"doc $id: predicted $pred, planted class $tru")
+      assert(hit == 1)
+    }
+  }
 }
