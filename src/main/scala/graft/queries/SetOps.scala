@@ -255,6 +255,38 @@ object SetOps extends QModule {
       WHERE l_partkey BETWEEN 1 AND 200 AND l_suppkey BETWEEN 1 AND 10
       GROUP BY l_suppkey"""))
 
+  /** Small-file compaction ([[graft.operators.Compact]] — the lakehouse
+    * OPTIMIZE bin-packing capability): orders is deliberately fragmented
+    * into 64 small files, compacted shuffle-free back to a handful of
+    * target-size files, and the aggregate over the REWRITE must equal
+    * the source aggregate (the oracle) — the rewrite conserves every
+    * row. File counts, the zero-shuffle plan, and the clustered
+    * variant's disjoint per-file ranges are pinned in CompactSpec.
+    */
+  val qSrcCompact = QDef(
+    "q_src_compact",
+    (s, d) => {
+      val compacted = graft.SessionCache.memo(s, s"compact:$d") {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft-compact-" +
+          s"${ProcessHandle.current().pid()}-${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .repartition(64) // the fragmented state a streaming sink leaves behind
+          .write.mode("overwrite").parquet(s"$base/small")
+        graft.operators.Compact.rewrite(
+          s, s"$base/small", s"$base/packed", targetBytes = 8L << 20)
+        s.read.parquet(s"$base/packed")
+      }
+      compacted
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.Exact.dsum(col("o_totalprice"), 2).as("total"))
+    },
+    Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n,
+             ${graft.Exact.dsumSql("o_totalprice", 2)} AS total
+      FROM orders GROUP BY o_orderstatus"""))
+
   /** Text source round-trip (SURVEY §2.1 text row): one line per
     * document (fixture text is single-line), read back as the text
     * source's single `value` column; line count and char volume must
@@ -275,5 +307,6 @@ object SetOps extends QModule {
   val defs: Seq[QDef] = Seq(
     qSetUnion, qSetUnionAll, qSetIntersect, qSetExcept, qSetExceptAll,
     qSetIntersectAll, qSetDistinct, qSortTopk, qSortOffset, qSetUnionByName,
-    qSrcCsv, qSrcJson, qSrcOrc, qSrcText, qSrcPartitioned, qSrcXml, qSrcZorder)
+    qSrcCsv, qSrcJson, qSrcOrc, qSrcText, qSrcPartitioned, qSrcXml, qSrcZorder,
+    qSrcCompact)
 }
