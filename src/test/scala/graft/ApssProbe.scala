@@ -3,9 +3,32 @@ package graft
 /** Dev tool: q_sim_apss wall-clock + the prefix filter's candidate
   * reduction vs the unfiltered co-occurring pair space. Run:
   *   sbt "Test/runMain graft.ApssProbe /root/testdata/sf0.1"
+  *
+  * `boiler <nDocs>` mode seeds the ADVERSARIAL corpus the filter exists
+  * for — every doc shares a boilerplate tail (the web-crawl shape:
+  * headers, footers, licenses), so EVERY pair co-occurs and the
+  * unfiltered pair space is n²/2 while true near-dups stay rare — and
+  * races the filtered plan against the brute-force pair-stream plan
+  * (the DuckDB oracle's shape) in the same engine:
+  *   sbt "Test/runMain graft.ApssProbe boiler 6000"
   */
 object ApssProbe {
+
+  private def boilerDocs(n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(11)
+    val boiler = (1 to 37).map(i => s"footer$i").mkString(" ")
+    (1L to n.toLong).map { id =>
+      // ~2% planted near-dups of the previous doc; others unique bodies
+      if (id > 1 && rnd.nextInt(50) == 0) {
+        val prev = (1 to 40).map(i => s"w${id - 1}_$i")
+        (id, (prev.take(38) :+ s"mut$id").mkString(" ") + " " + boiler)
+      } else
+        (id, (1 to 40).map(i => s"w${id}_$i").mkString(" ") + " " + boiler)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("boiler")) return boilerMain(args.lift(1).map(_.toInt).getOrElse(6000))
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Engine.session("apss-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,6 +63,46 @@ object ApssProbe {
           FROM apss_pos a JOIN apss_pos b
             ON a.term = b.term AND a.doc_id < b.doc_id)""").head().getLong(0)
       println(f"[apss] candidates: prefix $cand -> positional $pruned vs unfiltered co-occurring pairs: $brute (${brute.toDouble / math.max(1, pruned)}%.1fx reduction)")
+    } finally spark.stop()
+  }
+
+  private def boilerMain(n: Int): Unit = {
+    val spark = Engine.session("apss-boiler")
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import spark.implicits._
+      val dir = s"synth://apss-boiler-$n"
+      Tables.names.filter(_ != "documents").foreach { t =>
+        Tables.seed(spark, dir, t, Tables.load(spark, "/root/testdata/sf0.001", t))
+      }
+      Tables.seed(spark, dir, "documents",
+        boilerDocs(n).toDF("doc_id", "text").selectExpr(
+          "doc_id", "text", "'en' AS lang", "'synth' AS source",
+          "length(text) AS n_chars"))
+
+      // filtered plan (cold = index build + probe, then steady)
+      var t0 = System.nanoTime()
+      val filtered = SparkEntry.queries("q_sim_apss")(spark, dir).count()
+      val cold = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      SparkEntry.queries("q_sim_apss")(spark, dir).count()
+      val steady = (System.nanoTime() - t0) / 1e9
+
+      // brute-force pair stream over the SAME memoized posting index
+      // (the oracle's plan shape, best case for it: index prebuilt)
+      t0 = System.nanoTime()
+      val bruteRows = spark.sql("""
+        WITH sz AS (SELECT doc_id, MIN(n) AS n FROM apss_pos GROUP BY doc_id),
+        ovl AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS o
+          FROM apss_pos a JOIN apss_pos b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT COUNT(*) FROM ovl
+        JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        WHERE 100 * o * o >= 49 * sa.n * sb.n""").head().getLong(0)
+      val bruteSec = (System.nanoTime() - t0) / 1e9
+      println(f"[apss-boiler] n=$n: $filtered pairs — filtered cold $cold%.1fs / steady $steady%.1fs; brute pair-stream $bruteSec%.1fs ($bruteRows rows) — pair space ${n.toLong * (n - 1) / 2} co-occurring")
     } finally spark.stop()
   }
 }
