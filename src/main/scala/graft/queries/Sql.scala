@@ -210,6 +210,44 @@ object Sql extends QModule {
              CAST(${graft.Exact.usumSql("l_extendedprice * (1 - l_discount)", 4)} AS DOUBLE) / 1e4 AS net_rev
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** SQL-defined TABLE function (CREATE FUNCTION ... RETURNS TABLE,
+    * SPARK-44746) invoked through a CORRELATED LATERAL join — the
+    * view-with-parameters surface: per customer, the TVF returns that
+    * customer's orders above a price floor, and the outer query
+    * aggregates them. The analyzer inlines the body and decorrelates
+    * the lateral into an equi-join (plan-verified by the oracle hash:
+    * DuckDB computes the same result as a plain join + aggregate).
+    *
+    * SHARP EDGE, found by probing and deliberately kept OUT of this
+    * query's body: a correlated SQL TVF whose body contains ORDER BY +
+    * LIMIT decorrelates WRONG in Spark 4.1 — the GlobalLimit is pulled
+    * above the correlation and applied ONCE globally instead of per
+    * outer row, silently returning wrong (mostly empty) results. The
+    * per-key-top-k shape must be written with a window rank (see
+    * q_sql_lateral) until that is fixed upstream; filter-only TVF
+    * bodies like this one decorrelate correctly.
+    */
+  val qSqlTvf = QDef(
+    "q_sql_tvf",
+    (s, d) => {
+      graft.Tables.register(s, d)
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION cust_orders(cust BIGINT, minp DOUBLE)
+               RETURNS TABLE (ok BIGINT, price DOUBLE)
+               RETURN SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_custkey = cust AND o_totalprice >= minp""")
+      s.sql(s"""
+        SELECT c.c_custkey, COUNT(*) AS n_big,
+               ${graft.Exact.dsumSql("t.price", 2)} AS big_total
+        FROM customer c JOIN LATERAL cust_orders(c.c_custkey, 150000.0D) t
+        GROUP BY c.c_custkey""")
+    },
+    Some(s"""
+      SELECT c.c_custkey, COUNT(*) AS n_big,
+             ${graft.Exact.dsumSql("o.o_totalprice", 2)} AS big_total
+      FROM customer c JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_totalprice >= 150000.0
+      GROUP BY c.c_custkey"""))
+
   /** SQL pipe syntax (Spark 4.0 `|>` operators, SPARK-49555): the same
     * relational program written as a left-to-right pipeline — FROM |>
     * WHERE |> AGGREGATE |> WHERE(post-agg HAVING) |> ORDER BY. Parses to
@@ -271,5 +309,5 @@ object Sql extends QModule {
   val defs: Seq[QDef] = Seq(qSqlCte, qSqlHaving, qSqlUsing, qSqlValues,
     qSqlNestedSet, qSqlLateral, qSqlNatural, qSqlGroupAll, qSqlLateralAlias,
     qSqlVariant, qSqlRecursive, qSqlPivot, qSqlUnpivot, qSqlUdf, qSqlPipe,
-    qSqlCollate)
+    qSqlCollate, qSqlTvf)
 }

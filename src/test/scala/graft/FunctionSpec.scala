@@ -211,6 +211,50 @@ class FunctionSpec extends SparkSpecBase {
       Tables.load(spark, sf, "nation").select("n_regionkey").distinct.count())
   }
 
+  test("EXECUTE IMMEDIATE runs dynamic SQL with USING parameters and INTO variables") {
+    Tables.register(spark, sf)
+    // dynamic-SQL surface (Spark 4, SPARK-44751): the statement text is a
+    // value, parameters bind through USING — the templated-query path a
+    // BI tool or stored procedure emits
+    val n = spark.sql(
+      "EXECUTE IMMEDIATE 'SELECT COUNT(*) AS n FROM nation WHERE n_regionkey = ?' USING 1")
+      .head.getLong(0)
+    assert(n == Tables.load(spark, sf, "nation")
+      .filter(col("n_regionkey") === 1).count())
+    // INTO captures the result in a session variable
+    spark.sql("DECLARE OR REPLACE VARIABLE nn BIGINT")
+    spark.sql("EXECUTE IMMEDIATE 'SELECT COUNT(*) FROM nation' INTO nn")
+    assert(spark.sql("SELECT nn").head.getLong(0) ==
+      Tables.load(spark, sf, "nation").count())
+  }
+
+  test("SQL scripting: BEGIN/END compound with DECLARE, WHILE, and IF control flow") {
+    Tables.register(spark, sf)
+    // Spark 4 SQL scripting (SPARK-48338) behind its runtime conf; the
+    // procedural surface (migration path for stored-procedure workloads)
+    val prev = spark.conf.getOption("spark.sql.scripting.enabled")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try {
+      val regions = Tables.load(spark, sf, "region").count()
+      val got = spark.sql("""
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 3 DO
+            SET total = total + (SELECT COUNT(*) FROM region);
+            SET i = i + 1;
+          END WHILE;
+          IF total > 0 THEN
+            SELECT total AS t;
+          END IF;
+        END""").head.getLong(0)
+      assert(got == 3 * regions, s"scripted loop computed $got, want ${3 * regions}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.scripting.enabled", v)
+      case None    => spark.conf.unset("spark.sql.scripting.enabled")
+    }
+  }
+
   test("typed joinWith and reduceGroups match their untyped equivalents") {
     import spark.implicits._
     val orders = Tables.load(spark, sf, "orders")
