@@ -723,6 +723,66 @@ object Sim extends QModule {
       FROM flagged GROUP BY cell"""
     })
 
+  /** Per-cell MEDOID selection — the representative-exemplar step that
+    * follows dedup/clustering in a curation pipeline (SemDeDup removes
+    * near-duplicates; THIS picks the vector that best represents each
+    * cell for downstream labeling, visualization, or few-shot seeding):
+    * within each learned fine-grid cell, the medoid maximizes total
+    * cosine cohesion to its cell-mates.
+    *
+    * Determinism (the trap an average-of-floats medoid falls into): each
+    * PAIRWISE cosine is bit-exact in both engines (ordered-fold dot),
+    * but a per-member SUM of doubles would be merge-order dependent —
+    * so every cosine is rounded to 6 dp and scaled to an exact BIGINT
+    * (±10⁶ per pair; both engines round half away from zero, and the
+    * inputs are bit-identical doubles), making the cohesion sum exact
+    * integer arithmetic with a deterministic (cohesion DESC, vec_id)
+    * argmax. Self-pairs are included on purpose: +10⁶ to every member
+    * of the same cell — a per-cell constant that cannot change the
+    * argmax, and it gives singleton cells their row without an outer
+    * join.
+    *
+    * Scale: the self-join is cell-blocked on the FINE grid (cell size ≤
+    * $FineTarget by construction, cells ∝ n), so pair volume
+    * Σ cell² ≤ n · $FineTarget stays LINEAR in the corpus; the argmax
+    * is a WindowGroupLimit-able rank over one row per member.
+    */
+  val qSimMedoid = QDef(
+    "q_sim_medoid",
+    (s, d) => {
+      val lists = fineIndex(s, d)
+      val a = lists.select(col("vec_id").as("m"), col("embedding").as("ae"),
+        col("nrm").as("an"), col("cell"))
+      val b = lists.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("bn"), col("cell"))
+      val coh = a.join(b, "cell")
+        .groupBy("cell", "m")
+        .agg(
+          sum(expr(s"CAST(ROUND(${dot("spark", "ae", "be")} / (an * bn) * 1000000) AS BIGINT)"))
+            .as("coh"),
+          count(lit(1)).as("members"))
+      coh.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("cell").orderBy(col("coh").desc, col("m"))))
+        .where(col("rk") === 1)
+        .select(col("cell"), col("m").as("medoid"), col("members"),
+          col("coh").cast("long").as("coh"))
+    },
+    Some {
+      val d = (a: String, b: String) => dot("duck", a, b)
+      s"""
+      WITH ${fineListsCtes("duck")},
+      p AS (SELECT a.cell, a.vec_id AS m,
+                   CAST(SUM(CAST(ROUND(${d("a.embedding", "b.embedding")} / (a.nrm * b.nrm) * 1000000) AS BIGINT)) AS BIGINT) AS coh,
+                   CAST(COUNT(*) AS BIGINT) AS members
+            FROM fine a JOIN fine b ON a.cell = b.cell
+            GROUP BY a.cell, a.vec_id)
+      SELECT cell, m AS medoid, members, coh
+      FROM (SELECT p.*, ROW_NUMBER() OVER (
+              PARTITION BY cell ORDER BY coh DESC, m) AS rk FROM p)
+      WHERE rk = 1"""
+    })
+
   /** Scalar-quantized (int8) cosine top-k — the memory-bound ANN variant:
     * every float32 vector is quantized to symmetric int8 codes with a
     * per-vector scale (max|x|/127, the classic SQ8 scheme), and ALL
@@ -1198,6 +1258,6 @@ object Sim extends QModule {
 
   val defs: Seq[QDef] = Seq(
     qSimTopk, qSimEmbdup, qSimLsh, qSimLshTopk, qSimTriplets, qSimCentroid,
-    qSimIvf, qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimKnnJoin,
+    qSimIvf, qSimIvfTopk, qSimKmeans, qDedupSemantic, qSimMedoid, qSimKnnJoin,
     qSimQuantTopk, qSimPqTopk, qSimIvfPqTopk, qSimCellQuota, qSimMrlTopk)
 }
