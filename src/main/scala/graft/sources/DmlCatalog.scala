@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -42,7 +43,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Register per session (runtime-settable — catalogs load lazily):
   * `spark.conf.set("spark.sql.catalog.graft_dml", classOf[DmlCatalog].getName)`.
   */
-class DmlCatalog extends TableCatalog with SupportsNamespaces {
+class DmlCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = "graft_dml"
   // Backing store is JVM-shared PER CATALOG NAME, not per instance: Spark
   // instantiates a fresh catalog plugin in every cloned session (notably
@@ -81,7 +82,10 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalArgumentException(s"non-numeric table version '$version'")
     }
     val snap = t.snapshotAt(v).getOrElse(throw new IllegalArgumentException(
-      s"table ${key(ident)} has no version $v (versions 0..${t.latestVersion})"))
+      if (t.isExpired(v))
+        s"table ${key(ident)} version $v was expired by vacuum (latest ${t.latestVersion})"
+      else
+        s"table ${key(ident)} has no version $v (versions 0..${t.latestVersion})"))
     new DmlSnapshot(s"${key(ident)}@v$v", t.schema(), snap)
   }
 
@@ -109,6 +113,24 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces {
       throw new TableAlreadyExistsException(to)
   }
 
+  // ------------------------------------------------- stored procedures
+  // Spark 4 DSv2 stored procedures (SPARK-44167): maintenance commands a
+  // user invokes as `CALL graft_dml.system.vacuum('t', 2)` — the Iceberg
+  // `CALL catalog.system.*` surface. `vacuum` is the retention step that
+  // completes the table lifecycle (write → time travel → CDF → expire):
+  // it drops all but the newest `keep` version snapshots; expired
+  // `VERSION AS OF` reads then refuse loudly while retained ones serve.
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "vacuum"))
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    val ok = ident.namespace().sameElements(Array("system")) &&
+      ident.name().equalsIgnoreCase("vacuum")
+    if (!ok) throw new RuntimeException(
+      s"procedure ${key(ident)} not found (try system.vacuum)")
+    new VacuumProcedure(tables)
+  }
+
   // Minimal namespace surface: a single implicit default namespace, so
   // resolution (USE / qualified names) never trips on metadata lookups.
   override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
@@ -123,6 +145,51 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces {
   override def createNamespace(namespace: Array[String], metadata: util.Map[String, String]): Unit = ()
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = ()
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = false
+}
+
+/** `system.vacuum(table, keep)` — the DSv2 stored-procedure form of
+  * snapshot retention ([[DmlTable.vacuum]]): invoked through Spark's
+  * `CALL` statement, bound by the analyzer (`BindProcedures` coerces and
+  * orders arguments, named or positional), and returning a one-row
+  * result scan (expired/retained counts) like any maintenance command.
+  */
+private[sources] class VacuumProcedure(
+    tables: ConcurrentHashMap[String, DmlTable])
+    extends procedures.UnboundProcedure {
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "expire all but the newest `keep` version snapshots of `table`"
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = VacuumProcedure.this.name()
+      override def description(): String = VacuumProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", types.StringType).build(),
+        procedures.ProcedureParameter.in("keep", types.IntegerType).build())
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val tname = input.getUTF8String(0).toString
+        val keep = input.getInt(1)
+        require(keep >= 1, s"vacuum keep must be >= 1, got $keep")
+        val t = Option(tables.get(tname)).getOrElse(
+          throw new RuntimeException(s"vacuum: no such table '$tname'"))
+        val (expired, retained) = t.vacuum(keep)
+        val out = new StructType()
+          .add("expired_versions", types.IntegerType, nullable = false)
+          .add("retained_versions", types.IntegerType, nullable = false)
+        val row = UnsafeProjection.create(out)(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](expired, retained))).copy()
+        // procedure output must be a LocalScan in Spark 4.1 (the result is
+        // driver-sized by definition — counts, not data)
+        val result = new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = out
+          override def rows(): Array[InternalRow] = Array(row)
+        }
+        util.List.of[Scan](result).iterator()
+      }
+    }
 }
 
 object DmlCatalog {
@@ -151,8 +218,25 @@ private[graft] class DmlTable(tableName: String, tableSchema: StructType)
 
   private[sources] def recordVersion(): Unit = history.add(rows)
   private[sources] def snapshotAt(v: Int): Option[Array[InternalRow]] =
-    if (v >= 0 && v < history.size) Some(history.get(v)) else None
+    if (v >= 0 && v < history.size) Option(history.get(v)) else None
+  private[sources] def isExpired(v: Int): Boolean =
+    v >= 0 && v < history.size && history.get(v) == null
   private[sources] def latestVersion: Int = history.size - 1
+
+  /** Retention: expire every snapshot but the newest `keep` (version
+    * NUMBERS are stable — expired slots tombstone to null so later
+    * versions keep their index, exactly like a lakehouse metadata log
+    * that deletes old snapshot files but never renumbers). Returns
+    * (expired-this-call, still-retained).
+    */
+  private[sources] def vacuum(keep: Int): (Int, Int) = synchronized {
+    val cutoff = math.max(0, history.size - keep)
+    var expired = 0
+    for (i <- 0 until cutoff if history.get(i) != null) {
+      history.set(i, null); expired += 1
+    }
+    (expired, history.size - cutoff)
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema

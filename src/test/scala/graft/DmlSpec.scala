@@ -114,6 +114,34 @@ class DmlSpec extends SparkSpecBase {
     spark.sql("DROP TABLE graft_dml.t_tt")
   }
 
+  test("CALL system.vacuum expires old snapshots through the DSv2 procedure surface") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_dml.t_vac")
+    spark.sql("CREATE TABLE graft_dml.t_vac AS SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation")
+    spark.sql("DELETE FROM graft_dml.t_vac WHERE k >= 10")
+    spark.sql("INSERT INTO graft_dml.t_vac VALUES (CAST(99 AS BIGINT))")
+    // versions 0..2 exist; CALL with positional args expires all but 2
+    val res = spark.sql("CALL graft_dml.system.vacuum('t_vac', 2)").collect()
+    assert(res.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 2)),
+      s"vacuum result: ${res.mkString}")
+    def countAt(v: Int): Long =
+      spark.sql(s"SELECT COUNT(*) AS c FROM graft_dml.t_vac VERSION AS OF $v").head.getLong(0)
+    val e = intercept[Exception](countAt(0))
+    assert(e.getMessage.contains("expired by vacuum"), s"wrong error: ${e.getMessage}")
+    assert(countAt(1) == 10 && countAt(2) == 11,
+      "retained versions must keep their stable numbers and contents")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_vac").head.getLong(0) == 11)
+    // named-argument invocation binds through the analyzer too; idempotent
+    val again = spark.sql(
+      "CALL graft_dml.system.vacuum(table => 't_vac', keep => 2)").collect()
+    assert(again.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((0, 2)))
+    // retention floor is validated
+    val bad = intercept[Exception](
+      spark.sql("CALL graft_dml.system.vacuum('t_vac', 0)").collect())
+    assert(bad.getMessage.contains("keep must be >= 1"))
+    spark.sql("DROP TABLE graft_dml.t_vac")
+  }
+
   test("declared DML queries match their relational mirrors in-engine") {
     // The DuckDB oracle is the driver's job; here each declared query's
     // result must equal its own oracle text's relational meaning computed
