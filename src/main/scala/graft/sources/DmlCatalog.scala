@@ -100,8 +100,26 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces with ProcedureCata
     t
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Schema evolution: ADD COLUMNS (nullable, top-level) — the additive
+    * evolution every lakehouse format supports. Existing rows (and every
+    * retained snapshot) are migrated with NULL for the new column, so
+    * time-travel reads serve the LATEST schema with nulls where history
+    * predates the column (the simple uniform-schema policy; Delta-style
+    * per-snapshot schemas plug into the same change surface). Everything
+    * else (renames, drops, type changes) refuses loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = loadTable(ident).asInstanceOf[DmlTable]
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        require(add.isNullable,
+          "ADD COLUMN must be nullable — existing rows have no value for it")
+        t.addColumn(add.fieldNames()(0), add.dataType())
+      case c => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $c not supported (only nullable ADD COLUMN)")
+    }
+    t
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(key(ident)) != null
@@ -207,8 +225,10 @@ object DmlCatalog {
   * atomically at commit; readers that already planned keep their snapshot
   * (snapshot isolation, the same model as a lakehouse table version).
   */
-private[graft] class DmlTable(tableName: String, tableSchema: StructType)
+private[graft] class DmlTable(tableName: String, initialSchema: StructType)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+
+  @volatile private var tableSchema: StructType = initialSchema
 
   @volatile private[sources] var rows: Array[InternalRow] = Array.empty
   /** Snapshot per committed write, for `VERSION AS OF` (index = version). */
@@ -222,6 +242,33 @@ private[graft] class DmlTable(tableName: String, tableSchema: StructType)
   private[sources] def isExpired(v: Int): Boolean =
     v >= 0 && v < history.size && history.get(v) == null
   private[sources] def latestVersion: Int = history.size - 1
+
+  /** Additive schema evolution: widen the schema by one nullable column
+    * and migrate current rows + every retained snapshot (NULL-filled).
+    * Snapshot arrays can be SHARED between `rows` and history entries —
+    * the identity map migrates each distinct array exactly once so the
+    * sharing (and memory shape) survives evolution.
+    */
+  private[sources] def addColumn(
+      colName: String, dt: org.apache.spark.sql.types.DataType): Unit =
+    synchronized {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+      val old = tableSchema
+      val proj = UnsafeProjection.create(
+        old.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+        }.toIndexedSeq :+ (Literal(null, dt): org.apache.spark.sql.catalyst.expressions.Expression))
+      val seen = new util.IdentityHashMap[Array[InternalRow], Array[InternalRow]]()
+      def migrate(a: Array[InternalRow]): Array[InternalRow] =
+        if (a == null) null
+        else Option(seen.get(a)).getOrElse {
+          val m = a.map(r => proj(r).copy(): InternalRow)
+          seen.put(a, m); m
+        }
+      rows = migrate(rows)
+      for (i <- 0 until history.size) history.set(i, migrate(history.get(i)))
+      tableSchema = old.add(colName, dt, nullable = true)
+    }
 
   /** Retention: expire every snapshot but the newest `keep` (version
     * NUMBERS are stable — expired slots tombstone to null so later

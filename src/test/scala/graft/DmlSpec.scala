@@ -139,7 +139,36 @@ class DmlSpec extends SparkSpecBase {
     val bad = intercept[Exception](
       spark.sql("CALL graft_dml.system.vacuum('t_vac', 0)").collect())
     assert(bad.getMessage.contains("keep must be >= 1"))
+    // catalog-level procedure metadata surface
+    val shownDf = spark.sql("SHOW PROCEDURES IN graft_dml")
+    val nameIdx = shownDf.schema.fieldIndex("procedure_name")
+    val shown = shownDf.collect().map(_.getString(nameIdx))
+    assert(shown.contains("vacuum"), s"SHOW PROCEDURES listed: ${shown.mkString(",")}")
     spark.sql("DROP TABLE graft_dml.t_vac")
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the schema and null-fills history") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_dml.t_evo")
+    spark.sql("CREATE TABLE graft_dml.t_evo AS SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation WHERE n_regionkey = 0")
+    spark.sql("DELETE FROM graft_dml.t_evo WHERE k >= 15")
+    spark.sql("ALTER TABLE graft_dml.t_evo ADD COLUMNS (score DOUBLE)")
+    // old rows read back NULL-filled under the evolved schema
+    val cur = spark.sql("SELECT k, score FROM graft_dml.t_evo").collect()
+    assert(cur.nonEmpty && cur.forall(_.isNullAt(1)), "pre-evolution rows must be null-filled")
+    // new-shape writes land
+    spark.sql("INSERT INTO graft_dml.t_evo VALUES (CAST(77 AS BIGINT), CAST(0.5 AS DOUBLE))")
+    val scored = spark.sql("SELECT score FROM graft_dml.t_evo WHERE k = 77").head.getDouble(0)
+    assert(scored == 0.5)
+    // time travel serves the latest schema with nulls where history predates it
+    val v0 = spark.sql("SELECT k, score FROM graft_dml.t_evo VERSION AS OF 0").collect()
+    assert(v0.length == 5 && v0.forall(_.isNullAt(1)),
+      s"version 0 must keep its rows, null-filled: ${v0.length}")
+    // non-additive changes refuse loudly
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft_dml.t_evo DROP COLUMN score"))
+    assert(e.getMessage.contains("not supported"), s"wrong error: ${e.getMessage}")
+    spark.sql("DROP TABLE graft_dml.t_evo")
   }
 
   test("declared DML queries match their relational mirrors in-engine") {
