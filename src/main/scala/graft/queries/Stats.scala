@@ -387,8 +387,44 @@ object Stats extends QModule {
     sqlQ(profileSql),
     Some(profileSql))
 
+  /** Systematic PPS sampling — probability-proportional-to-size document
+    * selection per language (the weighted complement of [[qStatQuota]]'s
+    * uniform per-source K): in the deterministic md5 order, each doc
+    * owns the weight interval (cum − n_chars, cum], and a doc is
+    * selected iff a multiple of `step = total DIV 10` falls in its
+    * interval — so selection probability is proportional to n_chars
+    * (the char/token-weighted sampling a data-mix pipeline wants: long
+    * docs shouldn't be undersampled by uniform doc picks), ~10 docs per
+    * language by construction, and everything is EXACT BIGINT
+    * arithmetic in one window pass (no pow/ln priority keys, which are
+    * not cross-engine reproducible). Docs longer than `step` cap at one
+    * selection — the standard systematic-sampling behavior.
+    *
+    * Scale: one per-lang-partitioned running-sum window over doc
+    * metadata only (text never read); same shape as q_stat_token_budget.
+    */
+  private def ppsSql(dialect: String): String = {
+    val idiv = dialect match { case "spark" => "DIV"; case _ => "//" }
+    s"""
+      WITH cum AS (
+        SELECT doc_id, lang, n_chars,
+               SUM(n_chars) OVER (PARTITION BY lang
+                 ORDER BY md5(CONCAT('pps:', CAST(doc_id AS STRING))), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(n_chars) OVER (PARTITION BY lang) AS tot
+        FROM documents)
+      SELECT doc_id, lang, n_chars, CAST(cw AS BIGINT) AS cum_chars
+      FROM cum
+      WHERE (cw - n_chars) $idiv GREATEST(tot $idiv 10, 1)
+          < cw $idiv GREATEST(tot $idiv 10, 1)"""
+  }
+  val qStatPps = QDef(
+    "q_stat_pps",
+    sqlQ(ppsSql("spark")),
+    Some(ppsSql("duck")))
+
   val defs: Seq[QDef] = Seq(
     qStatCrosstab, qStatCovCorr, qStatBuiltin, qStatApproxQuantile, qStatSampleBy,
     qStatMixture, qStatSplit, qStatRegr, qStatRegrBuiltin, qStatQuota,
-    qStatTokenBudget, qStatProfile)
+    qStatTokenBudget, qStatProfile, qStatPps)
 }

@@ -118,6 +118,31 @@ class CurationSpec extends SparkSpecBase {
     assert(frac("train") > 0.5, s"train fraction off: $frac")
   }
 
+  test("q_stat_pps selects exactly the systematic weight-interval crossings") {
+    val dir = "synth://pps"
+    // one language, hand-controllable weights via text length
+    val docs = (1L to 40L).map(i => (i, "x" * (10 * i).toInt, "en"))
+    seedDocs(dir, docs)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent reference: same rule in plain Scala
+    val ordered = docs.map { case (id, t, _) => (id, t.length.toLong) }
+      .sortBy { case (id, _) => (md5hex(s"pps:$id"), id) }
+    val tot = ordered.map(_._2).sum
+    val step = math.max(tot / 10, 1)
+    var cw = 0L
+    val expect = ordered.flatMap { case (id, n) =>
+      cw += n
+      if ((cw - n) / step < cw / step) Some(id) else None
+    }.toSet
+    val got = SparkEntry.queries("q_stat_pps")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"got $got expected $expect")
+    // every multiple of step falls in exactly one interval and no doc
+    // outweighs the step here, so the count is exactly tot/step = 10
+    assert(expect.size == 10, s"systematic count: ${expect.size}")
+  }
+
   test("q_text_nbayes recovers planted class vocabularies out-of-fold") {
     val dir = "synth://nbayes"
     // Three classes with DISJOINT planted vocabularies plus shared noise
