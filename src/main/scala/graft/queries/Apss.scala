@@ -65,24 +65,36 @@ object Apss extends QModule {
   /** The memoized positional posting index `apss_pos`: one row per
     * (doc, shingle id) with the doc's set size and the id's rank in
     * the canonical (df ASC, id ASC) order.
+    *
+    * Built CTE-FREE and composed with DataFrame ops over the persisted
+    * shingle table — an analyzed plan carrying WithCTE/CTERelationRef
+    * nodes never matches in CacheManager's cached-plan substitution, so
+    * a CTE-structured index SILENTLY REBUILDS on every query (the same
+    * gotcha [[Sim.ivfIndex]] documents; caught here by ApssSpec's
+    * plan-contract test — the spec asserts InMemoryRelation leaves).
     */
   private def posView(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
-    val df = graft.SessionCache.memo(s, s"apss_pos:$d") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = graft.SessionCache.memo(s, s"apss_w:$d") {
       graft.Tables.register(s, d)
       s.sql("""
-        WITH w AS (
-          SELECT DISTINCT doc_id, md5_long(sh) AS term FROM (
-            SELECT doc_id, explode(transform(sequence(0, size(ws) - 3),
-                   i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
-            FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents)
-            WHERE size(ws) >= 3)),
-        sz AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
-        df AS (SELECT term, COUNT(*) AS df FROM w GROUP BY term)
-        SELECT w.doc_id, w.term, sz.n,
-               ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY df.df, w.term) AS p
-        FROM w JOIN df ON w.term = df.term JOIN sz ON sz.doc_id = w.doc_id""").persist()
+        SELECT DISTINCT doc_id, md5_long(sh) AS term FROM (
+          SELECT doc_id, explode(transform(sequence(0, size(ws) - 3),
+                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+          FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents)
+          WHERE size(ws) >= 3)""").persist()
     }
-    df.createOrReplaceTempView("apss_pos")
+    val pos = graft.SessionCache.memo(s, s"apss_pos:$d") {
+      val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dfreq = w.groupBy("term").agg(count(lit(1)).as("df"))
+      w.join(dfreq, "term").join(sz, "doc_id")
+        .select(col("doc_id"), col("term"), col("n"),
+          row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df"), col("term"))).as("p"))
+        .persist()
+    }
+    pos.createOrReplaceTempView("apss_pos")
   }
 
   /** Engine side: probe-prefix x index-prefix candidates, positional

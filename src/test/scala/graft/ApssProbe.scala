@@ -28,7 +28,9 @@ object ApssProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("boiler")) return boilerMain(args.lift(1).map(_.toInt).getOrElse(6000))
+    if (args.headOption.contains("boiler"))
+      return boilerMain(args.lift(1).map(_.toInt).getOrElse(6000),
+        brute = !args.contains("nobrute"))
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = Engine.session("apss-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,7 +68,7 @@ object ApssProbe {
     } finally spark.stop()
   }
 
-  private def boilerMain(n: Int): Unit = {
+  private def boilerMain(n: Int, brute: Boolean): Unit = {
     val spark = Engine.session("apss-boiler")
     spark.sparkContext.setLogLevel("ERROR")
     try {
@@ -80,6 +82,7 @@ object ApssProbe {
           "doc_id", "text", "'en' AS lang", "'synth' AS source",
           "length(text) AS n_chars"))
 
+      System.err.println(s"[apss-boiler] seeded $n docs")
       // filtered plan (cold = index build + probe, then steady)
       var t0 = System.nanoTime()
       val filtered = SparkEntry.queries("q_sim_apss")(spark, dir).count()
@@ -87,6 +90,9 @@ object ApssProbe {
       t0 = System.nanoTime()
       SparkEntry.queries("q_sim_apss")(spark, dir).count()
       val steady = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[apss-boiler] n=$n: $filtered pairs — filtered cold $cold%.1fs / steady $steady%.1fs")
+      if (!brute) return
 
       // brute-force pair stream over the SAME memoized posting index
       // (the oracle's plan shape, best case for it: index prebuilt)

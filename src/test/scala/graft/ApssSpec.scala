@@ -78,6 +78,16 @@ class ApssSpec extends SparkSpecBase {
     assert(!expected.exists(p => p._2 == 6L), "length filter case unexpectedly qualified")
   }
 
+  test("q_sim_apss plans candidate equi-joins over the memoized index, never all-pairs") {
+    val df = SparkEntry.queries("q_sim_apss")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"all-pairs operator in the APSS plan:\n$plan")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("InMemoryRelation"),
+      "candidate/verify stages must read the memoized positional index, not rescan parquet")
+  }
+
   test("q_sim_apss equals the brute force on a randomized near-dup corpus") {
     val dir = "synth://apss-rand"
     val rnd = new scala.util.Random(42)
