@@ -77,13 +77,22 @@ object Apss extends QModule {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = graft.SessionCache.memo(s, s"apss_w:$d") {
-      graft.Tables.register(s, d)
-      s.sql("""
-        SELECT DISTINCT doc_id, md5_long(sh) AS term FROM (
-          SELECT doc_id, explode(transform(sequence(0, size(ws) - 3),
-                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
-          FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents)
-          WHERE size(ws) >= 3)""").persist()
+      // VIEW-FREE on purpose: a cached plan that references the
+      // `documents` TEMP VIEW is invalidated (uncached, cascade) the
+      // moment any other sf-dir run re-registers that view — Spark's
+      // replace-view invalidation. Loading structurally keeps the memo
+      // alive across multi-dir sessions (found by ApssSpec's plan
+      // contract failing only in full-suite order).
+      graft.Tables.ensureFunctions(s)
+      graft.Tables.load(s, d, "documents")
+        .selectExpr("doc_id", "split(lower(text), ' ') AS ws")
+        .where("size(ws) >= 3")
+        .selectExpr("doc_id",
+          "explode(transform(sequence(0, size(ws) - 3), " +
+            "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh")
+        .selectExpr("doc_id", "md5_long(sh) AS term")
+        .distinct()
+        .persist()
     }
     val pos = graft.SessionCache.memo(s, s"apss_pos:$d") {
       val sz = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
