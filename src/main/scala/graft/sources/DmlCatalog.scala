@@ -1,22 +1,26 @@
 package graft.sources
 
+import java.io.File
 import java.util
 import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetTable, ParquetWrite}
 import org.apache.spark.sql.types
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** An in-memory DataSource V2 catalog whose tables accept row-level DML —
+/** A DataSource V2 catalog whose tables accept row-level DML —
   * `DELETE FROM`, `UPDATE`, and `MERGE INTO` — via Spark's group-based
   * copy-on-write rewrite ([[SupportsRowLevelOperations]]).
   *
@@ -31,34 +35,46 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * analyzer rewrites → `ReplaceData` over the operation's scan → V2 batch
   * write that swaps the rewritten group in one atomic commit.
   *
-  * Scale posture (100 TB): the ENGINE-side capability proven here — the
-  * rewrite rules, the join shapes they plan (merge = outer join on the ON
-  * condition), atomic group replacement — is exactly what Iceberg/Delta
-  * plug into; only the storage differs. This catalog keeps one group per
-  * table in driver memory (fine for dimension-sized upsert targets, the
-  * spec- and oracle-checked use), where a lakehouse format keys groups to
-  * data files so a MERGE rewrites only affected files. The group-based
-  * `RowLevelOperation` surface is identical in both.
+  * Storage (scale posture, 100 TB): every table snapshot is a SET OF
+  * PARQUET FILES on disk, written through Spark's own DSv2 parquet write
+  * path (`ParquetWrite` → `FileBatchWrite` → per-task `FileWriterFactory`,
+  * the same executor-side machinery behind `df.write.parquet`; reference
+  * `EXE/datasources/FileFormatWriter.scala`,
+  * `InsertIntoHadoopFsRelationCommand.scala`) and scanned through Spark's
+  * own DSv2 parquet read path (`ParquetTable` → vectorized `ParquetScan`
+  * with column pruning and filter pushdown). Rows never pass through the
+  * driver: each write task streams its partition straight into its own
+  * parquet file and ships back only a commit message; the driver-side
+  * commit installs the new version as a METADATA file list — exactly the
+  * snapshot-lineage model of a lakehouse format (Iceberg/Delta), where
+  * the version chain is a log of file sets and `vacuum` deletes files no
+  * retained snapshot references. Time travel, CDF, and IVM therefore
+  * inherit executor-side storage for free, and driver heap stays O(files),
+  * never O(rows).
   *
   * Register per session (runtime-settable — catalogs load lazily):
-  * `spark.conf.set("spark.sql.catalog.graft_dml", classOf[DmlCatalog].getName)`.
+  * `spark.conf.set("spark.sql.catalog.graft_dml", classOf[DmlCatalog].getName)`;
+  * optional `spark.sql.catalog.graft_dml.location=/dir` pins the storage
+  * root (default: a per-JVM temp directory).
   */
 class DmlCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = "graft_dml"
+  private var location: Option[String] = None
   // Backing store is JVM-shared PER CATALOG NAME, not per instance: Spark
   // instantiates a fresh catalog plugin in every cloned session (notably
   // the per-micro-batch sessions foreachBatch hands out), and a catalog
   // whose tables vanish in a clone is not a catalog — a metastore/lakehouse
   // log is shared state by definition. The streaming CDC-upsert spec
   // (StreamingDmlSpec) fails without this.
-  private def tables: ConcurrentHashMap[String, DmlTable] =
-    DmlCatalog.stores.computeIfAbsent(catalogName,
-      _ => new ConcurrentHashMap[String, DmlTable]())
+  private def store: DmlCatalog.Store = DmlCatalog.storeFor(catalogName, location)
+  private def tables: ConcurrentHashMap[String, DmlTable] = store.tables
   private def key(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    location = Option(options.get("location"))
+  }
   override def name(): String = catalogName
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -71,9 +87,11 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces with ProcedureCata
 
   /** Time travel (`VERSION AS OF n`): version n = the table state after
     * its n-th committed write (CTAS population = version 0), served as a
-    * read-only snapshot. The version chain lives with the table data —
-    * the same snapshot-lineage contract a lakehouse format keeps in its
-    * metadata log.
+    * read-only snapshot over that version's file set. The version chain
+    * lives with the table metadata — the same snapshot-lineage contract a
+    * lakehouse format keeps in its metadata log. Snapshots serve the
+    * LATEST schema: files predating an added column read it as NULL
+    * (parquet schema-on-read).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = loadTable(ident).asInstanceOf[DmlTable]
@@ -94,19 +112,21 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces with ProcedureCata
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val t = new DmlTable(key(ident), schema)
+    val dir = new File(store.baseDir,
+      key(ident).replaceAll("[^A-Za-z0-9._-]", "_") + "-" +
+        java.util.UUID.randomUUID.toString.take(8))
+    val t = new DmlTable(key(ident), schema, dir)
     if (tables.putIfAbsent(key(ident), t) != null)
       throw new TableAlreadyExistsException(ident)
     t
   }
 
   /** Schema evolution: ADD COLUMNS (nullable, top-level) — the additive
-    * evolution every lakehouse format supports. Existing rows (and every
-    * retained snapshot) are migrated with NULL for the new column, so
-    * time-travel reads serve the LATEST schema with nulls where history
-    * predates the column (the simple uniform-schema policy; Delta-style
-    * per-snapshot schemas plug into the same change surface). Everything
-    * else (renames, drops, type changes) refuses loudly.
+    * evolution every lakehouse format supports. With file-backed
+    * snapshots this is METADATA-ONLY: no file is rewritten; every scan
+    * (current and time travel) serves the latest schema, and parquet
+    * schema-on-read fills the new column with NULL for files that predate
+    * it. Everything else (renames, drops, type changes) refuses loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = loadTable(ident).asInstanceOf[DmlTable]
@@ -122,7 +142,10 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces with ProcedureCata
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    tables.remove(key(ident)) != null
+    Option(tables.remove(key(ident))) match {
+      case Some(t) => t.deleteStorage(); true
+      case None => false
+    }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     val t = Option(tables.remove(key(from)))
@@ -136,7 +159,8 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces with ProcedureCata
   // user invokes as `CALL graft_dml.system.vacuum('t', 2)` — the Iceberg
   // `CALL catalog.system.*` surface. `vacuum` is the retention step that
   // completes the table lifecycle (write → time travel → CDF → expire):
-  // it drops all but the newest `keep` version snapshots; expired
+  // it drops all but the newest `keep` version snapshots AND deletes the
+  // parquet files no retained snapshot references; expired
   // `VERSION AS OF` reads then refuse loudly while retained ones serve.
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array("system"), "vacuum"))
@@ -211,69 +235,90 @@ private[sources] class VacuumProcedure(
 }
 
 object DmlCatalog {
-  /** Per-catalog-name table stores — the in-memory analog of the shared
+  /** Per-catalog-name store: the table map plus the storage root its
+    * version files live under — the in-memory analog of the shared
     * metastore/metadata log every real catalog plugin fronts. See the
     * note on `DmlCatalog.tables`.
     */
-  private val stores =
-    new ConcurrentHashMap[String, ConcurrentHashMap[String, DmlTable]]()
+  private[sources] final class Store(
+      val tables: ConcurrentHashMap[String, DmlTable], val baseDir: File)
+
+  private val stores = new ConcurrentHashMap[String, Store]()
+
+  private[sources] def storeFor(name: String, location: Option[String]): Store =
+    stores.computeIfAbsent(name, _ => {
+      val dir = location.map(new File(_)).getOrElse(
+        java.nio.file.Files.createTempDirectory(s"graft-dml-$name-").toFile)
+      dir.mkdirs()
+      new Store(new ConcurrentHashMap[String, DmlTable](), dir)
+    })
 }
 
-/** One DML-capable table: full-schema rows held as an immutable snapshot
-  * array (UnsafeRow — compact and serializable, so scan partitions ship
-  * slices straight into tasks). Every write installs a new snapshot
-  * atomically at commit; readers that already planned keep their snapshot
-  * (snapshot isolation, the same model as a lakehouse table version).
+/** One DML-capable table whose storage is file-backed: the live state and
+  * every retained `VERSION AS OF` snapshot are immutable LISTS OF PARQUET
+  * FILES under `tableDir`; only those metadata lists (and the schema) live
+  * on the driver. Every committed write installs a new file list
+  * atomically; readers that already planned keep their list (snapshot
+  * isolation, the same model as a lakehouse table version). Appends reuse
+  * the prior version's files (an append's new version shares history
+  * files, exactly like a format's metadata log), so `vacuum` deletes only
+  * files no retained version references.
   */
-private[graft] class DmlTable(tableName: String, initialSchema: StructType)
+private[graft] class DmlTable(tableName: String, initialSchema: StructType, tableDir: File)
     extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   @volatile private var tableSchema: StructType = initialSchema
 
-  @volatile private[sources] var rows: Array[InternalRow] = Array.empty
-  /** Snapshot per committed write, for `VERSION AS OF` (index = version). */
-  private val history = new util.concurrent.CopyOnWriteArrayList[Array[InternalRow]]()
+  /** Live snapshot = the parquet files of the latest committed version. */
+  @volatile private[sources] var currentFiles: Seq[String] = Nil
+  /** File list per committed write, for `VERSION AS OF` (index = version;
+    * null = expired by vacuum).
+    */
+  private val history = new util.concurrent.CopyOnWriteArrayList[Seq[String]]()
+  private val stagingCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   /** Observability for specs: row-level commands this table executed. */
   private[graft] val opsSeen = new util.concurrent.CopyOnWriteArrayList[String]()
 
-  private[sources] def recordVersion(): Unit = history.add(rows)
-  private[sources] def snapshotAt(v: Int): Option[Array[InternalRow]] =
+  private[sources] def installVersion(files: Seq[String], replace: Boolean): Unit =
+    synchronized {
+      currentFiles = if (replace) files else currentFiles ++ files
+      history.add(currentFiles)
+    }
+  private[sources] def snapshotAt(v: Int): Option[Seq[String]] =
     if (v >= 0 && v < history.size) Option(history.get(v)) else None
   private[sources] def isExpired(v: Int): Boolean =
     v >= 0 && v < history.size && history.get(v) == null
   private[sources] def latestVersion: Int = history.size - 1
 
-  /** Additive schema evolution: widen the schema by one nullable column
-    * and migrate current rows + every retained snapshot (NULL-filled).
-    * Snapshot arrays can be SHARED between `rows` and history entries —
-    * the identity map migrates each distinct array exactly once so the
-    * sharing (and memory shape) survives evolution.
+  /** A fresh directory for one write's files — one dir per commit attempt,
+    * so concurrent/aborted writes never collide and vacuum can reason in
+    * whole directories.
+    */
+  private[sources] def newStagingDir(): File = {
+    val d = new File(tableDir,
+      s"w${stagingCounter.getAndIncrement()}-${java.util.UUID.randomUUID.toString.take(8)}")
+    require(d.mkdirs() || d.isDirectory, s"cannot create table storage dir $d")
+    d
+  }
+
+  /** Additive schema evolution — metadata-only (see catalog scaladoc):
+    * existing parquet files simply read the new column as NULL. Refuses a
+    * duplicate name loudly (case-insensitively, matching Spark's default
+    * resolver) — StructType.add would happily append an ambiguous field.
     */
   private[sources] def addColumn(
       colName: String, dt: org.apache.spark.sql.types.DataType): Unit =
     synchronized {
-      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
-      val old = tableSchema
-      val proj = UnsafeProjection.create(
-        old.fields.zipWithIndex.map { case (f, i) =>
-          BoundReference(i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
-        }.toIndexedSeq :+ (Literal(null, dt): org.apache.spark.sql.catalyst.expressions.Expression))
-      val seen = new util.IdentityHashMap[Array[InternalRow], Array[InternalRow]]()
-      def migrate(a: Array[InternalRow]): Array[InternalRow] =
-        if (a == null) null
-        else Option(seen.get(a)).getOrElse {
-          val m = a.map(r => proj(r).copy(): InternalRow)
-          seen.put(a, m); m
-        }
-      rows = migrate(rows)
-      for (i <- 0 until history.size) history.set(i, migrate(history.get(i)))
-      tableSchema = old.add(colName, dt, nullable = true)
+      require(!tableSchema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+        s"ADD COLUMN $colName: column already exists in ${tableSchema.fieldNames.mkString("(", ", ", ")")}")
+      tableSchema = tableSchema.add(colName, dt, nullable = true)
     }
 
   /** Retention: expire every snapshot but the newest `keep` (version
     * NUMBERS are stable — expired slots tombstone to null so later
     * versions keep their index, exactly like a lakehouse metadata log
-    * that deletes old snapshot files but never renumbers). Returns
+    * that deletes old snapshot files but never renumbers), then delete
+    * the parquet files no retained version references. Returns
     * (expired-this-call, still-retained).
     */
   private[sources] def vacuum(keep: Int): (Int, Int) = synchronized {
@@ -282,8 +327,19 @@ private[graft] class DmlTable(tableName: String, initialSchema: StructType)
     for (i <- 0 until cutoff if history.get(i) != null) {
       history.set(i, null); expired += 1
     }
+    val live: Set[String] =
+      (currentFiles ++ (0 until history.size)
+        .flatMap(i => Option(history.get(i)).getOrElse(Nil))).toSet
+    Option(tableDir.listFiles()).getOrElse(Array.empty).foreach { d =>
+      val data = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      if (d.isDirectory && data.nonEmpty && !data.exists(f => live(f.getAbsolutePath)))
+        DmlStorage.deleteRecursively(d)
+    }
     (expired, history.size - cutoff)
   }
+
+  private[sources] def deleteStorage(): Unit = DmlStorage.deleteRecursively(tableDir)
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -294,98 +350,136 @@ private[graft] class DmlTable(tableName: String, initialSchema: StructType)
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new DmlScan(tableSchema, rows)
+    DmlStorage.scanBuilder(tableName, currentFiles, tableSchema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DmlWriteBuilder(this, info.schema(), replaceAll = false)
+    new DmlWriteBuilder(this, info, replaceAll = false)
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
-      // The operation reads the group being rewritten (here: the whole
-      // table — one group) ...
+      // The operation reads the group being rewritten — here the whole
+      // table, ONE group (copy-on-write at table granularity; a lakehouse
+      // format keys groups to files). The scan builder deliberately hides
+      // pushdown: GroupBasedRowLevelOperationScanPlanning pushes the
+      // command condition into this scan as a GROUP filter, which a
+      // connector may only use to skip groups it will not rewrite — with
+      // one group, any row-level filtering would DROP surviving rows from
+      // the replacement. So the operation scan always reads every row.
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
         opsSeen.add(info.command().toString)
-        () => new DmlScan(tableSchema, rows)
+        val files = currentFiles
+        val schema = tableSchema
+        () => DmlStorage.fullScan(tableName, files, schema)
       }
       // ... and its write REPLACES that group with the surviving rows the
-      // rewrite computed (copy-on-write). See DmlWriterFactory for how the
-      // ReplaceData stream's __row_operation marker is consumed.
+      // rewrite computed (copy-on-write). See MarkerStripFactory for how
+      // the ReplaceData stream's __row_operation marker is consumed.
       override def newWriteBuilder(info2: LogicalWriteInfo): WriteBuilder =
-        new DmlWriteBuilder(DmlTable.this, info2.schema(), replaceAll = true)
+        new DmlWriteBuilder(DmlTable.this, info2, replaceAll = true)
     }
 }
-
-/** Scan over a fixed snapshot, sliced for parallel read. */
-private[sources] class DmlScan(schema: StructType, snapshot: Array[InternalRow])
-    extends Scan with Batch {
-  override def readSchema(): StructType = schema
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    val slices = math.min(4, math.max(1, snapshot.length))
-    (0 until slices).map { i =>
-      val from = snapshot.length.toLong * i / slices
-      val until = snapshot.length.toLong * (i + 1) / slices
-      DmlSlice(snapshot.slice(from.toInt, until.toInt)): InputPartition
-    }.toArray
-  }
-  override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => {
-      val rs = partition.asInstanceOf[DmlSlice].rows
-      new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < rs.length }
-        override def get(): InternalRow = rs(i)
-        override def close(): Unit = ()
-      }
-    }
-}
-
-private[sources] case class DmlSlice(rows: Array[InternalRow]) extends InputPartition
 
 /** A read-only historical version of a [[DmlTable]] (`VERSION AS OF`). */
 private[sources] class DmlSnapshot(
-    snapName: String, snapSchema: StructType, snap: Array[InternalRow])
+    snapName: String, snapSchema: StructType, files: Seq[String])
     extends Table with SupportsRead {
   override def name(): String = snapName
   override def schema(): StructType = snapSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new DmlScan(snapSchema, snap)
+    DmlStorage.scanBuilder(snapName, files, snapSchema, options)
 }
 
-private[sources] case class DmlCommit(rows: Array[InternalRow]) extends WriterCommitMessage
+/** The delegation seam to Spark's own DSv2 parquet source: scans are real
+  * `ParquetScan`s (vectorized, column-pruning, filter-pushing), writes are
+  * real `ParquetWrite`s (executor-side `FileWriterFactory` tasks + a
+  * `FileCommitProtocol` job commit). This connector adds only versioned
+  * METADATA on top.
+  */
+private[sources] object DmlStorage {
+  private def parquetTable(name: String, files: Seq[String], schema: StructType): ParquetTable =
+    ParquetTable(name, SparkSession.active, CaseInsensitiveStringMap.empty(),
+      files, Some(schema), classOf[ParquetFileFormat])
+
+  /** Full-featured scan builder (pushdown + pruning) for plain reads. */
+  def scanBuilder(
+      name: String, files: Seq[String], schema: StructType,
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    if (files.isEmpty) () => new EmptyScan(schema)
+    else parquetTable(name, files, schema).newScanBuilder(options)
+
+  /** Pushdown-free full-table scan for row-level operation reads. */
+  def fullScan(name: String, files: Seq[String], schema: StructType): Scan =
+    if (files.isEmpty) new EmptyScan(schema)
+    else parquetTable(name, files, schema)
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+
+  def newBatchWrite(info: LogicalWriteInfo, stagingDir: File): BatchWrite =
+    ParquetWrite(Seq(stagingDir.getAbsolutePath), "parquet", _ => true, info).toBatch
+
+  def listDataFiles(dir: File): Seq[String] =
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).sorted
+
+  def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}
+
+/** Scan of a version with no files yet (freshly created table). */
+private[sources] class EmptyScan(schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = Array.empty
+  override def createReaderFactory(): PartitionReaderFactory =
+    (_: InputPartition) => throw new IllegalStateException("empty scan has no partitions")
+}
 
 /** Append by default; `replaceAll` for copy-on-write group replacement;
   * `truncate()` upgrades an append to an overwrite (INSERT OVERWRITE).
+  * Each write stages into a fresh directory through Spark's parquet write
+  * path; the driver-side commit first commits the delegate job (task files
+  * become visible atomically via the commit protocol), then installs the
+  * new version's file list.
   */
 private[sources] class DmlWriteBuilder(
-    table: DmlTable, writeSchema: StructType, replaceAll: Boolean)
+    table: DmlTable, info: LogicalWriteInfo, replaceAll: Boolean)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new BatchWrite {
-      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new DmlWriterFactory(writeSchema)
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val incoming = messages.collect { case DmlCommit(rs) => rs }.flatten
-        table.synchronized {
-          table.rows =
-            if (replaceAll || truncateFirst) incoming
-            else table.rows ++ incoming
-          table.recordVersion()
+    override def toBatch: BatchWrite = {
+      val staging = table.newStagingDir()
+      val delegate = DmlStorage.newBatchWrite(info, staging)
+      val replace = replaceAll || truncateFirst
+      val dataSchema = info.schema()
+      new BatchWrite {
+        override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+          MarkerStripFactory(delegate.createBatchWriterFactory(p), dataSchema)
+        override def useCommitCoordinator(): Boolean = delegate.useCommitCoordinator()
+        override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+          delegate.onDataWriterCommit(message)
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          delegate.commit(messages)
+          table.installVersion(DmlStorage.listDataFiles(staging), replace)
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          delegate.abort(messages)
+          DmlStorage.deleteRecursively(staging)
         }
       }
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
   }
 }
 
-/** Copies incoming rows into compact serializable UnsafeRows.
+/** Strips the row-level-operation marker before rows reach the parquet
+  * writer, streaming — no buffering in either task or driver.
   *
   * Row-level (ReplaceData) streams arrive UNprojected when the operation
   * declares no required metadata attributes: Spark's plain
@@ -394,27 +488,27 @@ private[sources] class DmlWriteBuilder(
   * (`LogicalWriteInfo.schema()` still reports only the data columns). The
   * marker is detected by arity (numFields == schema+1), validated to be a
   * write flavor (5=WRITE, 6=WRITE_WITH_METADATA — deleted rows never
-  * reach a ReplaceData stream), and dropped; plain appends project 1:1.
+  * reach a ReplaceData stream), and dropped; plain appends pass through.
   */
-private[sources] class DmlWriterFactory(schema: StructType) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+private[sources] case class MarkerStripFactory(
+    delegate: DataWriterFactory, dataSchema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val inner = delegate.createWriter(partitionId, taskId)
     new DataWriter[InternalRow] {
-      import org.apache.spark.sql.catalyst.expressions.BoundReference
-      private def proj(offset: Int) = UnsafeProjection.create(
-        schema.fields.zipWithIndex.map { case (f, i) =>
-          BoundReference(i + offset, f.dataType, f.nullable)
+      private lazy val markedProj = UnsafeProjection.create(
+        dataSchema.fields.zipWithIndex.map { case (f, i) =>
+          BoundReference(i + 1, f.dataType, f.nullable):
+            org.apache.spark.sql.catalyst.expressions.Expression
         }.toIndexedSeq)
-      private lazy val dataProj = proj(0)
-      private lazy val markedProj = proj(1)
-      private val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
       override def write(record: InternalRow): Unit =
-        if (record.numFields == schema.length + 1) {
+        if (record.numFields == dataSchema.length + 1) {
           val op = record.getInt(0)
           require(op == 5 || op == 6, s"unexpected __row_operation marker $op")
-          buf += markedProj(record).copy()
-        } else buf += dataProj(record).copy()
-      override def commit(): WriterCommitMessage = DmlCommit(buf.toArray)
-      override def abort(): Unit = ()
-      override def close(): Unit = ()
+          inner.write(markedProj(record))
+        } else inner.write(record)
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
     }
+  }
 }
