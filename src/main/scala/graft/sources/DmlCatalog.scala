@@ -270,7 +270,7 @@ private[graft] class DmlTable(tableName: String, initialSchema: StructType, tabl
   @volatile private var tableSchema: StructType = initialSchema
 
   /** Live snapshot = the parquet files of the latest committed version. */
-  @volatile private[sources] var currentFiles: Seq[String] = Nil
+  @volatile private[graft] var currentFiles: Seq[String] = Nil
   /** File list per committed write, for `VERSION AS OF` (index = version;
     * null = expired by vacuum).
     */

@@ -21,6 +21,32 @@ class DmlSpec extends SparkSpecBase {
     cat.loadTable(Identifier.of(Array.empty, name)).asInstanceOf[DmlTable]
   }
 
+  test("snapshot storage is file-backed: driver holds paths, parquet holds rows") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_dml.t_fs")
+    spark.sql("CREATE TABLE graft_dml.t_fs AS SELECT o_orderkey, o_totalprice FROM orders")
+    spark.sql("DELETE FROM graft_dml.t_fs WHERE o_orderkey % 2 = 0")
+    val t = dmlTable("t_fs")
+    val files = t.currentFiles
+    assert(files.nonEmpty, "committed version must have a file list")
+    assert(files.forall(f => f.endsWith(".parquet") && new java.io.File(f).isFile),
+      s"version files must be real parquet files on disk: $files")
+    // the driver-side state of a version is METADATA (paths), not rows:
+    // its total size must be orders of magnitude below the data
+    val metaBytes = files.map(_.length).sum
+    val dataBytes = files.map(new java.io.File(_).length()).sum
+    assert(metaBytes < 64 * 1024, s"file-list metadata unexpectedly large ($metaBytes B)")
+    assert(dataBytes > 10 * metaBytes,
+      s"data should live on disk (disk $dataBytes B vs driver metadata $metaBytes B)")
+    // an appended version SHARES the prior version's files (lakehouse
+    // metadata-log semantics) instead of rewriting them
+    spark.sql("INSERT INTO graft_dml.t_fs VALUES (CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE))")
+    val t2 = dmlTable("t_fs").currentFiles
+    assert(files.forall(t2.contains), "append must reuse the prior version's files")
+    assert(t2.size > files.size, "append must add new files")
+    spark.sql("DROP TABLE graft_dml.t_fs")
+  }
+
   test("CTAS + INSERT INTO append + INSERT OVERWRITE truncate round-trip") {
     init()
     spark.sql("DROP TABLE IF EXISTS graft_dml.t_rt")
