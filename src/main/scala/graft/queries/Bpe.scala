@@ -149,11 +149,23 @@ object Bpe extends QModule {
     * [[tokenStream]]. The token stream snaps through `Iterate` per
     * round (lineage stays flat; previous generation released).
     *
+    * ALPHABET-COMPLETE (r11): the trainer accepts ANY corpus character,
+    * including the stream delimiter `|`, the escape `\`, and quotes.
+    * Corpus chars are stream-escaped (`\`→`\q`, `|`→`\p`) so a bare `|`
+    * appears ONLY as a token delimiter — the literal `replace` of
+    * `|l|r|` then provably aligns on whole tokens (no unit ends in `\`,
+    * so the escape image is sequential-replace decodable, and escaping
+    * is a concatenation homomorphism so merged tokens stay escaped).
+    * Learned merges are applied VALUE-level (Column literals, never SQL
+    * text splicing) and unescaped only in the emitted merge table.
+    *
     * Determinism: argmax ties break on (count DESC, left, right) — the
     * learned table is engine/retry/partitioning-stable, which is why
     * the DuckDB oracle (the same loop as K MATERIALIZED CTE levels with
-    * scalar-subquery merge parameters) hash-matches it, and `BpeSpec`
-    * re-learns the table with an independent plain-Scala trainer.
+    * scalar-subquery merge parameters, identically escaped)
+    * hash-matches it, and `BpeSpec` re-learns the table with an
+    * independent plain-Scala trainer — including over a corpus of
+    * quotes/pipes/backslashes only.
     *
     * Scale (100 TB): K corpus passes is the honest cost of BPE training
     * (production trainers pay the same passes with delta tricks); the
@@ -161,48 +173,80 @@ object Bpe extends QModule {
     */
   val TrainIters = 8
 
+  /** Decode one stream-escaped token (see scaladoc above for why the
+    * two sequential replaces are exact).
+    */
+  def unescape(s: String): String = s.replace("\\p", "|").replace("\\q", "\\")
+
+  /** Run the training loop over any one-STRING-column corpus frame;
+    * returns the learned (rank, l, r) merge table with UNescaped tokens.
+    */
+  def train(corpus: org.apache.spark.sql.DataFrame, iters: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = corpus.sparkSession
+    import s.implicits._
+    val text = col(corpus.columns.head)
+    // escape, then split into one delimited unit per corpus char
+    // (`(\\.|.)` — an escape pair or a single char)
+    val escaped = replace(replace(text, lit("\\"), lit("\\q")), lit("|"), lit("\\p"))
+    var st = graft.operators.Iterate.snap(
+      corpus.select(concat(regexp_replace(escaped, "(\\\\.|.)", "|$1"), lit("|")).as("st")),
+      reliable = false)
+    val merges = Seq.newBuilder[(Int, String, String)]
+    for (k <- 1 to iters) {
+      val top = st
+        .selectExpr("filter(split(st, '[|]'), t -> t != '') AS w")
+        .where("size(w) >= 2")
+        .selectExpr("explode(transform(sequence(1, size(w) - 1), " +
+          "i -> named_struct('l', element_at(w, i), 'r', element_at(w, i + 1)))) AS p")
+        .selectExpr("p.l AS l", "p.r AS r")
+        .where("l <> ' ' AND r <> ' '")
+        .groupBy("l", "r").count()
+        // tie-break on the UNescaped tokens (the user-visible alphabet),
+        // so the learned table is independent of the escape encoding
+        .orderBy(col("count").desc,
+          replace(replace(col("l"), lit("\\p"), lit("|")), lit("\\q"), lit("\\")),
+          replace(replace(col("r"), lit("\\p"), lit("|")), lit("\\q"), lit("\\")))
+        .limit(1).head()
+      val (l, r) = (top.getString(0), top.getString(1))
+      val prev = st
+      st = graft.operators.Iterate.snap(
+        st.select(
+          replace(replace(col("st"), lit(s"|$l|$r|"), lit(s"|$l$r|")),
+            lit(s"|$l|$r|"), lit(s"|$l$r|")).as("st")),
+        reliable = false)
+      prev.unpersist()
+      merges += ((k, unescape(l), unescape(r)))
+    }
+    st.unpersist()
+    merges.result().toDF("rank", "l", "r")
+  }
+
+  /** The ADVERSARIAL corpus variant the declared trainer runs on: vowels
+    * become quote / pipe / backslash / dot / comma, so the learned
+    * vocabulary contains the stream's own delimiter and escape chars.
+    */
+  val TrainTranslateFrom = "aeiou"
+  val TrainTranslateTo = "'|\\.,"
+
   val qTextBpeTrain = QDef(
     "q_text_bpe_train",
     (s, d) => {
-      import s.implicits._
+      import org.apache.spark.sql.functions._
       graft.Tables.register(s, d)
-      var st = graft.operators.Iterate.snap(
-        s.sql("SELECT concat(regexp_replace(text, '(.)', '|$1'), '|') AS st FROM documents"),
-        reliable = false)
-      val merges = Seq.newBuilder[(Int, String, String)]
-      for (k <- 1 to TrainIters) {
-        val top = st
-          .selectExpr("filter(split(st, '[|]'), t -> t != '') AS w")
-          .where("size(w) >= 2")
-          .selectExpr("explode(transform(sequence(1, size(w) - 1), " +
-            "i -> named_struct('l', element_at(w, i), 'r', element_at(w, i + 1)))) AS p")
-          .selectExpr("p.l AS l", "p.r AS r")
-          .where("l <> ' ' AND r <> ' '")
-          .groupBy("l", "r").count()
-          .orderBy(org.apache.spark.sql.functions.col("count").desc,
-            org.apache.spark.sql.functions.col("l"),
-            org.apache.spark.sql.functions.col("r"))
-          .limit(1).head()
-        val (l, r) = (top.getString(0), top.getString(1))
-        // tokens are corpus characters and their concatenations; anything
-        // that could break the spliced literal fails LOUDLY, never quietly
-        require((l + r).matches("[\\w]+"),
-          s"BPE training learned a non-word token pair ('$l','$r') — " +
-            "quote-escape the merge literals before widening the alphabet")
-        val prev = st
-        st = graft.operators.Iterate.snap(
-          st.selectExpr(
-            s"replace(replace(st, '|$l|$r|', '|$l$r|'), '|$l|$r|', '|$l$r|') AS st"),
-          reliable = false)
-        prev.unpersist()
-        merges += ((k, l, r))
-      }
-      st.unpersist()
-      merges.result().toDF("rank", "l", "r")
+      train(
+        s.sql("SELECT text FROM documents")
+          .select(translate(col("text"), TrainTranslateFrom, TrainTranslateTo).as("text")),
+        TrainIters)
     },
     Some {
+      // identical escaping in DuckDB (its literals are escape-free, so
+      // '\' is one backslash): translate → \→\q → |→\p → unit explode
+      val t0expr = "concat(regexp_replace(replace(replace(" +
+        "translate(text, 'aeiou', '''|\\.,'), " +
+        "'\\', '\\q'), '|', '\\p'), '(\\\\.|.)', '|\\1', 'g'), '|')"
       val parts = scala.collection.mutable.ArrayBuffer(
-        "t0 AS MATERIALIZED (SELECT concat(regexp_replace(text, '(.)', '|\\1', 'g'), '|') AS st FROM documents)")
+        s"t0 AS MATERIALIZED (SELECT $t0expr AS st FROM documents)")
       val sel = scala.collection.mutable.ArrayBuffer.empty[String]
       for (k <- 1 to TrainIters) {
         val prev = s"t${k - 1}"
@@ -212,11 +256,14 @@ object Bpe extends QModule {
             FROM (SELECT unnest(list_zip(w, w[2:])) AS pr
                   FROM (SELECT list_filter(string_split(st, '|'), t -> t <> '') AS w FROM $prev))
             WHERE pr[1] <> ' ' AND pr[2] <> ' ' AND pr[2] IS NOT NULL
-            GROUP BY 1, 2) x ORDER BY cnt DESC, l, r LIMIT 1)"""
+            GROUP BY 1, 2) x
+          ORDER BY cnt DESC, replace(replace(l, '\\p', '|'), '\\q', '\\'),
+                   replace(replace(r, '\\p', '|'), '\\q', '\\') LIMIT 1)"""
         val pat = s"'|' || (SELECT l FROM p$k) || '|' || (SELECT r FROM p$k) || '|'"
         val tgt = s"'|' || (SELECT l FROM p$k) || (SELECT r FROM p$k) || '|'"
         parts += s"t$k AS MATERIALIZED (SELECT replace(replace(st, $pat, $tgt), $pat, $tgt) AS st FROM $prev)"
-        sel += s"SELECT $k AS rank, l, r FROM p$k"
+        sel += s"SELECT $k AS rank, replace(replace(l, '\\p', '|'), '\\q', '\\') AS l," +
+          s" replace(replace(r, '\\p', '|'), '\\q', '\\') AS r FROM p$k"
       }
       "WITH " + parts.mkString(",\n") + "\n" + sel.mkString(" UNION ALL ")
     })

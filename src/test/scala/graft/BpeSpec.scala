@@ -64,16 +64,16 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
-  test("q_text_bpe_train learns the same merge table as a plain-Scala trainer") {
-    // Independent reimplementation of the training loop: token streams as
-    // Vector[String], pair counts in a Map, greedy (count DESC, l, r)
-    // argmax, literal greedy merge application — no Spark, no SQL, no
-    // string-replace trick (the merge applies on token VECTORS).
-    val docs = Tables.load(spark, sf, "documents")
-      .select("text").collect().map(_.getString(0))
-    var streams: Array[Vector[String]] =
+  /** Independent reimplementation of the training loop: token streams as
+    * Vector[String], pair counts in a Map, greedy (count DESC, l, r)
+    * argmax, literal greedy merge application — no Spark, no SQL, no
+    * string-replace trick, NO stream escaping (the merge applies on
+    * token VECTORS, so the reference has no delimiter to protect).
+    */
+  private def refTrain(docs: Seq[String], iters: Int): Seq[(Int, String, String)] = {
+    var streams: Seq[Vector[String]] =
       docs.map(_.split("").filter(_.nonEmpty).toVector)
-    val want = (1 to Bpe.TrainIters).map { k =>
+    (1 to iters).map { k =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       for (s <- streams; (a, b) <- s.zip(s.drop(1)) if a != " " && b != " ")
         counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
@@ -88,15 +88,54 @@ class BpeSpec extends SparkSpecBase {
       }
       (k, l, r)
     }
+  }
+
+  test("q_text_bpe_train learns the same merge table as a plain-Scala trainer") {
+    // the declared query trains on the punctuated corpus variant (vowels
+    // → quote/pipe/backslash/dot/comma); the reference mirrors the
+    // translate with a plain char map
+    val docs = Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+      .map(_.map(c => Bpe.TrainTranslateFrom.indexOf(c) match {
+        case -1 => c
+        case i  => Bpe.TrainTranslateTo(i)
+      }))
+    val want = refTrain(docs, Bpe.TrainIters)
     val got = graft.queries.Bpe.qTextBpeTrain.fn(spark, sf)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
       .sortBy(_._1)
     assert(got === want, "learned merge table diverged from the reference trainer")
+    // the adversarial alphabet must actually be learned, not skipped:
+    // some merge must touch a non-word character
+    assert(got.exists { case (_, l, r) => !(l + r).matches("[\\w]+") },
+      s"translated corpus should force punctuation merges: $got")
     // sanity: at least one learned merge must COMPOSE (one side is itself
     // a merged token), proving the iterations feed each other
     val singles = got.map(m => m._2 + m._3)
     assert(got.exists(m => m._2.length > 1 || m._3.length > 1),
       s"no compositional merge learned in ${Bpe.TrainIters} iters: $singles")
+  }
+
+  test("trainer handles the delimiter/escape alphabet itself: quotes, pipes, backslashes") {
+    // corpus made ONLY of the stream's own delimiter (`|`), its escape
+    // (`\`), the escape suffix letters (q, p), and quotes — every way the
+    // old literal-splicing design could break. Pinned to the same
+    // plain-Scala vector trainer, which never escapes anything.
+    import spark.implicits._
+    val docs = Seq(
+      """\|'q \|'q \|'q""",
+      """p\\p p\\p ||'""",
+      """'q'q |p| \\\|""",
+      """\|'q p\\p ||'""")
+    val iters = 6
+    val want = refTrain(docs, iters)
+    val got = graft.queries.Bpe.train(docs.toDF("text"), iters)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(_._1)
+    assert(got === want,
+      s"adversarial-alphabet merge table diverged:\n got $got\nwant $want")
+    assert(want.exists { case (_, l, r) => (l + r).exists("\\|'".contains(_)) },
+      s"fixture failed to force delimiter/escape merges: $want")
   }
 
   test("budget cut is the token-budget window at the BPE grain") {
