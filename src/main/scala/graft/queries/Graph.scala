@@ -47,6 +47,14 @@ object Graph extends QModule {
     * instead of two. Message volume still decays with the frontier; the
     * run halts one round after the last improvement (the round that
     * delivers zero messages), same as the dst-gated form ±1 round.
+    *
+    * Long diameters (r11): the program is a monotone min-relaxation, so
+    * it hop-batches ([[graft.operators.Pregel.setHopBatch]]) — 8
+    * relaxation layers per superstep means ⌈diameter/8⌉ checkpoints and
+    * driver round-trips instead of one per hop: the sf0.1 chains (~24
+    * hops) settle in 4 supersteps, and the ×10 replica-chain fixture
+    * (~240-hop diameter) converges in ~31 supersteps WITHOUT raising
+    * maxIter to the diameter (the r10 refusal case).
     */
   val qGraphSssp = QDef(
     "q_graph_sssp",
@@ -77,6 +85,7 @@ object Graph extends QModule {
           when(Pregel.src("improved"), Pregel.src("dist") + Pregel.edge("w")))
         .aggMsgs(min(Pregel.msg))
         .setMaxIter(60)
+        .setHopBatch(8)
         .setTag("sssp")
         .run()
         .select(col("id").as("o_orderkey"), col("dist").as("dist_cents"))
@@ -470,8 +479,23 @@ object Graph extends QModule {
     "q_graph_kcore",
     (s, d) => {
       val edges = graft.SessionCache.memo(s, s"kcore-edges:$d") {
-        graft.Tables.register(s, d)
-        s.sql(kcoreEdgesSql).persist()
+        // VIEW-FREE (the Apss.posView pattern, commit 25fc1e5): a
+        // persisted plan that references the `lineitem` TEMP VIEW is
+        // uncached the moment another sf-dir run re-registers the view,
+        // silently rebuilding the co-purchase self-join per query.
+        // Structural load keeps the memo alive across multi-dir
+        // sessions. Mirrors [[kcoreEdgesSql]] (still the oracle text).
+        val li = graft.Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+        val e0 = li
+          .join(li.select(col("ok").as("ok2"), col("a").as("b")),
+            col("ok") === col("ok2") && col("a") < col("b"))
+          .groupBy("a", "b").agg(countDistinct("ok").as("nord"))
+          .where(col("nord") >= 2)
+          .select("a", "b")
+        e0.select(col("a").as("u"), col("b").as("v"))
+          .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
+          .persist()
       }
       graft.operators.KCore.run(edges, k = 3)
     },
@@ -481,13 +505,23 @@ object Graph extends QModule {
         s"a$i AS MATERIALIZED (SELECT u AS v FROM e " +
           s"WHERE u IN (SELECT v FROM a${i - 1}) AND v IN (SELECT v FROM a${i - 1}) " +
           "GROUP BY u HAVING COUNT(*) >= 3)").mkString(",\n")
+      // the K-level peel is a fixpoint ONLY if the fixture converges
+      // within K (depth 11 at sf0.01); `chk` fails the oracle LOUDLY on a
+      // deeper fixture instead of emitting a non-converged level and
+      // misattributing the hash mismatch to the engine (whose loop peels
+      // to observed convergence, up to maxIter 60)
       s"""
       WITH e AS MATERIALIZED ($kcoreEdgesSql),
       a0 AS MATERIALIZED (SELECT DISTINCT u AS v FROM e),
-      $levels
+      $levels,
+      chk AS (SELECT CASE WHEN (SELECT COUNT(*) FROM a$k) =
+                               (SELECT COUNT(*) FROM a${k - 1}) THEN 1
+                          ELSE error('kcore oracle: peel did not converge in $k levels')
+                     END AS ok)
       SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
-      FROM e
-      WHERE u IN (SELECT v FROM a$k) AND v IN (SELECT v FROM a$k)
+      FROM e, chk
+      WHERE chk.ok = 1
+        AND u IN (SELECT v FROM a$k) AND v IN (SELECT v FROM a$k)
       GROUP BY u"""
     },
     bench = true)

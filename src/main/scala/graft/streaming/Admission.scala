@@ -29,12 +29,14 @@ import graft.queries.Dedup
   * deltas are compacted into a single lineage-free base via eager
   * `localCheckpoint` — plan size and cache-recompute depth stay bounded
   * by `compactEvery` regardless of stream lifetime, and the compaction's
-  * O(corpus) cost amortizes to O(corpus/compactEvery) per batch. On a
-  * real cluster the same two stores are lakehouse APPEND tables (the
-  * engine's `sources/DmlCatalog` supports exactly this from foreachBatch —
-  * `StreamingDmlSpec`), which replaces localCheckpoint compaction with
-  * the table format's own file compaction; the probe/verify plans are
-  * unchanged either way.
+  * O(corpus) cost amortizes to O(corpus/compactEvery) per batch. The
+  * production substitution is SHIPPED as [[Admission.tableStore]]: both
+  * stores become file-backed DmlCatalog APPEND tables (parquet written
+  * executor-side through the engine's DSv2 write path), replacing
+  * localCheckpoint compaction with the table format's file sets and
+  * surviving operator restart — the probe/verify plans are unchanged
+  * either way (`AdmissionSpec` pins table-backed decisions, including
+  * across a restart).
   *
   * Scale posture (the q_dedup_incremental audit, tightened by the ×100
   * probe): candidate generation is accumulated-index ⋈ BROADCAST
@@ -57,29 +59,21 @@ import graft.queries.Dedup
   *                     keep)`; must consume the frame synchronously (a
   *                     table append in production; the specs collect)
   * @param compactEvery delta frames tolerated before a lineage-truncating
-  *                     compaction (bounds the union plan's width)
+  *                     compaction (bounds the union plan's width; only
+  *                     meaningful for the default block-manager store)
+  * @param store        storage strategy for the two accumulated stores —
+  *                     default is the block-manager delta store;
+  *                     [[Admission.tableStore]] substitutes DmlCatalog
+  *                     APPEND tables (file-backed parquet, survives
+  *                     operator restart, no localCheckpoint compaction)
   */
 class Admission(spark: SparkSession,
     sink: DataFrame => Unit,
-    compactEvery: Int = 48) {
+    compactEvery: Int = 48,
+    store: Admission.Store = null) {
 
-  import spark.implicits._
-
-  private def emptyIdx: DataFrame =
-    Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bucket")
-  private def emptyStore: DataFrame =
-    Seq.empty[(Long, Seq[String], Long)].toDF("doc_id", "sh", "nsh")
-
-  /** Compacted lineage-free base + per-batch persisted deltas. The
-    * accumulated view is base ∪ deltas, assembled lazily per step.
-    */
-  private var baseIdx: DataFrame = emptyIdx
-  private var baseStore: DataFrame = emptyStore
-  private var deltaIdx: Vector[DataFrame] = Vector.empty
-  private var deltaStore: Vector[DataFrame] = Vector.empty
-
-  private def view(base: DataFrame, deltas: Vector[DataFrame]): DataFrame =
-    deltas.foldLeft(base)(_ union _)
+  private val st: Admission.Store =
+    Option(store).getOrElse(new Admission.BlockStore(spark, compactEvery))
 
   /** Process one micro-batch of (doc_id, text). Call from foreachBatch. */
   def step(batch: DataFrame, batchId: Long): Unit = this.synchronized {
@@ -95,23 +89,24 @@ class Admission(spark: SparkSession,
       .groupBy("doc_id")
       .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("nsh"))
       .repartition(2)
-      .persist()
     // Signatures from RAW (non-distinct) shingles — MinHash is min-based so
     // distinctness doesn't change it, but the batch operators hash the raw
     // stream and the two must stay bit-identical.
     val bands = Dedup.bandsOf(Dedup.minhashOf(spark, Dedup.shinglesOf(docs)))
       .repartition(2)
-      .persist()
     // Materialize the deltas NOW, while the foreachBatch frame is still
     // valid (a streaming batch DataFrame cannot be re-read later) — this
-    // is the step's only store write and it is O(batch).
-    bands.count(); sh.count()
+    // is the step's only store write and it is O(batch). The store
+    // persists the frames for in-step reuse (broadcast sides below) and
+    // includes them in the accumulated views.
+    st.append(bands, sh)
 
     // Candidates: this batch probes the accumulated index PLUS itself
     // (earlier-in-batch partners = lower doc_id, the batch operator's
-    // uniform ordering rule). The batch side is BROADCAST so the
+    // uniform ordering rule; the append above already included this
+    // batch in the views). The batch side is BROADCAST so the
     // corpus-sized index is scanned in place — never shuffled.
-    val idxAll = view(baseIdx, deltaIdx :+ bands)
+    val idxAll = st.idxView
     val cand = idxAll
       .select(col("doc_id").as("old_id"), col("band"), col("bucket"))
       .join(broadcast(bands.select(col("doc_id").as("new_id"),
@@ -124,7 +119,7 @@ class Admission(spark: SparkSession,
     // the array store (candidates are O(batch·bands) — always the small
     // side) fetch both shingle sets, then the intersection is a per-pair
     // array op. No corpus-sized shuffle, sort, or aggregation.
-    val shAll = view(baseStore, deltaStore :+ sh)
+    val shAll = st.shView
     val withOld = shAll
       .select(col("doc_id").as("old_id"), col("sh").as("sha"),
         col("nsh").as("na"))
@@ -145,30 +140,127 @@ class Admission(spark: SparkSession,
       .select(col("doc_id"), coalesce(col("vd"), lit(0L)).as("n_dups"),
         col("vd").isNull.as("keep")))
 
-    // APPEND the delta; the accumulated store is untouched.
-    deltaIdx :+= bands
-    deltaStore :+= sh
     docs.unpersist()
+    // Store maintenance (block store: bounded-lineage compaction every
+    // `compactEvery` batches and release of the step's broadcast frames;
+    // table store: the format owns compaction — nothing to do).
+    st.endStep(bands, sh)
+  }
 
-    // Bounded-lineage compaction: fold the deltas into one checkpointed,
-    // plan-free base. Runs every `compactEvery` batches — the only
-    // corpus-sized write in the operator's lifetime, amortized.
-    if (deltaIdx.size >= compactEvery) {
-      val (oldBI, oldBS, oldDI, oldDS) = (baseIdx, baseStore, deltaIdx, deltaStore)
-      val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      baseIdx = view(baseIdx, deltaIdx).coalesce(p).localCheckpoint(true)
-      baseStore = view(baseStore, deltaStore).coalesce(p).localCheckpoint(true)
-      deltaIdx = Vector.empty
-      deltaStore = Vector.empty
-      oldBI.unpersist(); oldBS.unpersist()
-      oldDI.foreach(_.unpersist()); oldDS.foreach(_.unpersist())
+  def close(): Unit = this.synchronized { st.close() }
+}
+
+object Admission {
+
+  /** Storage strategy for the two accumulated stores (band index and
+    * one-row-per-doc shingle arrays). `append` must MATERIALIZE both
+    * O(batch) frames durably AND leave them usable as the step's
+    * broadcast sides; the views must include everything appended so far
+    * (this batch included).
+    */
+  trait Store {
+    def append(bands: DataFrame, sh: DataFrame): Unit
+    def idxView: DataFrame
+    def shView: DataFrame
+    def endStep(bands: DataFrame, sh: DataFrame): Unit = ()
+    def close(): Unit = ()
+  }
+
+  /** Block-manager delta store: per-batch persisted frames, lazy-union
+    * views, `localCheckpoint` compaction every `compactEvery` batches —
+    * the single-process default (state dies with the operator).
+    */
+  final class BlockStore(spark: SparkSession, compactEvery: Int) extends Store {
+    import spark.implicits._
+    private def emptyIdx: DataFrame =
+      Seq.empty[(Long, Int, String)].toDF("doc_id", "band", "bucket")
+    private def emptyStore: DataFrame =
+      Seq.empty[(Long, Seq[String], Long)].toDF("doc_id", "sh", "nsh")
+
+    /** Compacted lineage-free base + per-batch persisted deltas. The
+      * accumulated view is base ∪ deltas, assembled lazily per step.
+      */
+    private var baseIdx: DataFrame = emptyIdx
+    private var baseStore: DataFrame = emptyStore
+    private var deltaIdx: Vector[DataFrame] = Vector.empty
+    private var deltaStore: Vector[DataFrame] = Vector.empty
+
+    private def view(base: DataFrame, deltas: Vector[DataFrame]): DataFrame =
+      deltas.foldLeft(base)(_ union _)
+
+    override def append(bands: DataFrame, sh: DataFrame): Unit = {
+      bands.persist().count(); sh.persist().count()
+      deltaIdx :+= bands
+      deltaStore :+= sh
+    }
+    override def idxView: DataFrame = view(baseIdx, deltaIdx)
+    override def shView: DataFrame = view(baseStore, deltaStore)
+
+    override def endStep(bands: DataFrame, sh: DataFrame): Unit =
+      // Bounded-lineage compaction: fold the deltas into one checkpointed,
+      // plan-free base. Runs every `compactEvery` batches — the only
+      // corpus-sized write in the operator's lifetime, amortized.
+      if (deltaIdx.size >= compactEvery) {
+        val (oldBI, oldBS, oldDI, oldDS) = (baseIdx, baseStore, deltaIdx, deltaStore)
+        val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        baseIdx = view(baseIdx, deltaIdx).coalesce(p).localCheckpoint(true)
+        baseStore = view(baseStore, deltaStore).coalesce(p).localCheckpoint(true)
+        deltaIdx = Vector.empty
+        deltaStore = Vector.empty
+        oldBI.unpersist(); oldBS.unpersist()
+        oldDI.foreach(_.unpersist()); oldDS.foreach(_.unpersist())
+      }
+
+    override def close(): Unit = {
+      baseIdx.unpersist(); baseStore.unpersist()
+      deltaIdx.foreach(_.unpersist()); deltaStore.foreach(_.unpersist())
+      deltaIdx = Vector.empty; deltaStore = Vector.empty
+      baseIdx = emptyIdx; baseStore = emptyStore
     }
   }
 
-  def close(): Unit = this.synchronized {
-    baseIdx.unpersist(); baseStore.unpersist()
-    deltaIdx.foreach(_.unpersist()); deltaStore.foreach(_.unpersist())
-    deltaIdx = Vector.empty; deltaStore = Vector.empty
-    baseIdx = emptyIdx; baseStore = emptyStore
+  /** DmlCatalog-backed store — the production substitution: both stores
+    * are file-backed APPEND tables (parquet written executor-side through
+    * the engine's DSv2 write path), so the accumulated state survives
+    * operator/process restart, never rides the block manager, and needs
+    * no `localCheckpoint` compaction (the table's file sets ARE the
+    * lineage-free base; small-file pressure is the format's compaction
+    * concern, amortized like any lakehouse ingest). The views are plain
+    * table scans re-planned per step, so each batch sees everything
+    * appended before it — including by a PREVIOUS incarnation of the
+    * operator ([[AdmissionSpec]] pins restart-exactness).
+    *
+    * The step's broadcast frames are persisted for the duration of the
+    * step only (endStep releases them) — the durable copy is the table.
+    */
+  final class TableStore(spark: SparkSession, catalog: String, prefix: String)
+      extends Store {
+    private val idxT = s"$catalog.${prefix}_idx"
+    private val shT = s"$catalog.${prefix}_sh"
+
+    override def append(bands: DataFrame, sh: DataFrame): Unit = {
+      bands.persist().count(); sh.persist().count()
+      ensure(idxT, bands); ensure(shT, sh)
+      bands.writeTo(idxT).append()
+      sh.writeTo(shT).append()
+    }
+    private def ensure(t: String, shaped: DataFrame): Unit =
+      if (!spark.catalog.tableExists(t))
+        shaped.limit(0).writeTo(t).create()
+    override def idxView: DataFrame = spark.table(idxT)
+    override def shView: DataFrame = spark.table(shT)
+    override def endStep(bands: DataFrame, sh: DataFrame): Unit = {
+      bands.unpersist(); sh.unpersist()
+    }
+  }
+
+  /** Convenience: register the [[graft.sources.DmlCatalog]] under
+    * `catalog` (idempotent) and return a table-backed store with fresh or
+    * resumable tables `prefix`_idx / `prefix`_sh.
+    */
+  def tableStore(spark: SparkSession, catalog: String, prefix: String): Store = {
+    spark.conf.set(s"spark.sql.catalog.$catalog",
+      classOf[graft.sources.DmlCatalog].getName)
+    new TableStore(spark, catalog, prefix)
   }
 }

@@ -142,6 +142,70 @@ class AdmissionSpec extends SparkSpecBase {
     }
   }
 
+  test("table-backed stores: decisions exact, and they survive an operator restart") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val bands = docs.map { case (id, t) => id -> bandsOf(t) }.toMap
+    val expected = docs.map { case (id, t) =>
+      val nd = docs.takeWhile(_._1 < id).count { case (oid, ot) =>
+        bands(oid).intersect(bands(id)).nonEmpty && jaccard(ot, t) >= 0.5
+      }
+      (id, nd.toLong, nd == 0)
+    }
+
+    spark.conf.set("spark.sql.catalog.graft_dml",
+      classOf[graft.sources.DmlCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft_dml.admt_idx")
+    spark.sql("DROP TABLE IF EXISTS graft_dml.admt_sh")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    def collector: org.apache.spark.sql.DataFrame => Unit =
+      df => got.synchronized {
+        got ++= df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // first incarnation: the head of the stream
+    val adm1 = new Admission(spark, collector,
+      store = Admission.tableStore(spark, "graft_dml", "admt"))
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = in1.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => adm1.step(b, id))
+      .start()
+    val cut = docs.length / 2
+    try {
+      in1.addData(docs.take(cut / 2)); q1.processAllAvailable()
+      in1.addData(docs.slice(cut / 2, cut)); q1.processAllAvailable()
+    } finally { q1.stop(); adm1.close() }
+
+    // RESTART: a brand-new operator instance over the SAME tables — the
+    // accumulated state must come back from the catalog's parquet files,
+    // not from any block-manager remnant of the first incarnation.
+    val adm2 = new Admission(spark, collector,
+      store = Admission.tableStore(spark, "graft_dml", "admt"))
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = in2.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => adm2.step(b, id))
+      .start()
+    try {
+      in2.addData(docs.slice(cut, cut + cut / 2)); q2.processAllAvailable()
+      in2.addData(docs.drop(cut + cut / 2)); q2.processAllAvailable()
+    } finally { q2.stop(); adm2.close() }
+
+    assert(got.size == docs.size, "every doc must get a decision")
+    assert(got.sortBy(_._1).toSeq == expected,
+      "table-backed admission diverged from the independent reference " +
+        "across the restart")
+    // the durable stores really are the catalog tables (file-backed)
+    val idxRows = spark.table("graft_dml.admt_idx").count()
+    assert(idxRows > 0, "band index table should hold the whole stream")
+    spark.sql("DROP TABLE graft_dml.admt_idx")
+    spark.sql("DROP TABLE graft_dml.admt_sh")
+  }
+
   /** Private-constant mirror so the reference can read the SAME scheme
     * constants the pipeline uses (a drifted constant must fail the test,
     * not silently fork the scheme).

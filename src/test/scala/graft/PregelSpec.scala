@@ -97,6 +97,39 @@ class PregelSpec extends SparkSpecBase {
     assert(got === Map(0L -> Some(0L), 1L -> Some(5L), 2L -> Some(10L), 9L -> None))
   }
 
+  test("hop-batched relaxation: identical SSSP results, rounds = ceil(diameter/k)") {
+    // random-graph equivalence: batched == unbatched == Dijkstra-shaped
+    // expectations come from the random-graph test above; here a LONG
+    // CHAIN pins the round arithmetic — a 40-hop diameter with maxIter
+    // 10 refuses unbatched but converges hop-batched at k=8 in
+    // ceil(40/8)+1 = 6 supersteps, with bit-identical distances.
+    val n = 41
+    val vs = (0L until n).toDF("id")
+    val es = (0L until n - 1).map(i => (i, i + 1, i % 7 + 1)).toDF("src", "dst", "w")
+    def sssp(p: Pregel) = p
+      .withVertexColumn("improved", col("id") === 0L,
+        Pregel.msg.isNotNull && (col("dist").isNull || Pregel.msg < col("dist")))
+      .withVertexColumn("dist",
+        when(col("id") === 0L, lit(0L)).otherwise(lit(null).cast("long")),
+        least(col("dist"), Pregel.msg))
+      .sendMsgToDst(
+        when(Pregel.src("improved"), Pregel.src("dist") + Pregel.edge("w")))
+      .aggMsgs(min(Pregel.msg))
+    val refuse = intercept[IllegalArgumentException] {
+      sssp(Pregel(vs, es).setMaxIter(10)).run()
+    }
+    assert(refuse.getMessage.contains("did not converge"))
+    val batched = sssp(Pregel(vs, es).setMaxIter(10).setHopBatch(8).setTag("hop8"))
+      .run().select("id", "dist").as[(Long, Long)].collect().toMap
+    val want = sssp(Pregel(vs, es).setMaxIter(60).setTag("hop1"))
+      .run().select("id", "dist").as[(Long, Long)].collect().toMap
+    assert(batched === want, "hop-batched distances diverged from unbatched")
+    val r8 = Pregel.lastRuns.get("hop8").size
+    val r1 = Pregel.lastRuns.get("hop1").size
+    assert(r1 >= 41, s"unbatched chain should take >= diameter rounds, took $r1")
+    assert(r8 == 6, s"hop-batched rounds should be ceil(40/8)+1 = 6, took $r8")
+  }
+
   test("non-convergence fails loudly; setRequireConverged(false) runs the fixed count") {
     val vs = Seq(0L, 1L, 2L, 3L).toDF("id")
     val es = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
