@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.optimizer.FoldDotProduct)
+    ext.injectOptimizerRule(_ => graft.optimizer.BitmapDistinct)
   }
 }

@@ -26,6 +26,19 @@ object SessionCache {
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     state(spark).computeIfAbsent(key, _ => build)
 
+  private val childSessions =
+    new SessionKeyed[java.util.concurrent.ConcurrentHashMap[String, SparkSession]]
+
+  /** Build-once per (session, key) CHILD SESSION — for queries that must
+    * plan under a conf their caller's session does not carry (e.g. the
+    * BitmapDistinct gate): actions re-plan frames under the conf current
+    * at action time, so the conf must live with the frame's session.
+    */
+  def memoSession(spark: SparkSession, key: String)(build: => SparkSession): SparkSession =
+    childSessions
+      .get(spark)(_ => new java.util.concurrent.ConcurrentHashMap[String, SparkSession]())
+      .computeIfAbsent(key, _ => build)
+
   /** Unpersist and drop every memoized DF of this session. */
   def clear(spark: SparkSession): Unit =
     sessions.remove(spark).foreach { st =>

@@ -503,6 +503,52 @@ object Agg extends QModule {
       FROM lineitem GROUP BY l_returnflag"""),
     bench = true)
 
+  /** The AUTOMATIC twin of the two forms above: a plain
+    * `COUNT(DISTINCT k)` aggregate planned through the engine's
+    * [[graft.optimizer.BitmapDistinct]] optimizer rule, which rewrites
+    * integer-keyed distincts into the OR-combinable bitmap shape when
+    * the stats gate says the key grain is near-unique (CBO ndv/rowCount)
+    * or the input is large (size fallback). The query text is the NAIVE
+    * form — the plan is the bitmap form; the DuckDB oracle runs the same
+    * naive text, so the hash gate proves the rewrite is invisible.
+    *
+    * The fixture is tiny, so this query stands in for the at-scale
+    * regime by dropping the size gate to 1 byte — in a CLONED session,
+    * because a caller's action (noop/parquet write) re-plans the frame
+    * under the conf current THEN: the clone keeps the gate open for the
+    * frame's whole life while the caller's session stays untouched
+    * (`BitmapDistinctSpec` pins the gate's default-off direction and the
+    * CBO-stats direction separately). l_orderkey is the
+    * closest-to-unique integral key lineitem has (~¼ of rows).
+    */
+  val qAggDistinctAuto = QDef(
+    "q_agg_distinct_auto",
+    (s, d) => {
+      val gated = graft.SessionCache.memoSession(s, "bitmap-distinct-gated") {
+        val ns = s.newSession()
+        ns.conf.set(graft.optimizer.BitmapDistinct.MinBytesKey, "1")
+        ns
+      }
+      val df = t(gated, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("ord_d"),
+          count(lit(1)).as("cnt"),
+          min(col("l_suppkey")).as("min_supp"),
+          max(col("l_partkey")).as("max_part"))
+      require(df.queryExecution.executedPlan.toString.contains("bitmap_construct_agg"),
+        "q_agg_distinct_auto must plan through the BitmapDistinct rule")
+      df
+    },
+    Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_orderkey) AS ord_d,
+        COUNT(*) AS cnt,
+        MIN(l_suppkey) AS min_supp,
+        MAX(l_partkey) AS max_part
+      FROM lineitem GROUP BY l_returnflag"""),
+    bench = true)
+
   /** max_by/min_by builtins (SURVEY §2.4 argmin/argmax; DuckDB spells
     * them arg_max/arg_min — the only dialect delta). The ordering key is
     * (price units, orderkey) packed into one BIGINT, so it is UNIQUE per
@@ -560,6 +606,6 @@ object Agg extends QModule {
     qAggBasic, qAggDistinct, qAggMinMax, qAggCube, qAggRollup, qAggGsets,
     qAggBits, qAggGroupingId, qAggListagg, qAggPivot, qAggStats, qAggCollect,
     qAggPercentile, qAggApprox, qAggUnpivot, qAggFilter, qAggPctWithin,
-    qAggRollupDistinct, qAggBitmap, qAggDistinctBitmap, qAggPivotMulti,
-    qAggMaxBy, qAggHllSketch, qAggModeMedian)
+    qAggRollupDistinct, qAggBitmap, qAggDistinctBitmap, qAggDistinctAuto,
+    qAggPivotMulti, qAggMaxBy, qAggHllSketch, qAggModeMedian)
 }
