@@ -169,5 +169,84 @@ object Apss extends QModule {
     Some(apssDuck),
     bench = true)
 
-  val defs: Seq[QDef] = Seq(qSimApss)
+  /** EXACT incremental admission (VERDICT r10 Next #7): the newest ~15%
+    * of the corpus (doc_id above the 85%-of-max cutoff — the incremental
+    * split) probes the SAME memoized posting index for qualifying
+    * partners among everything OLDER (accumulated docs and
+    * earlier-in-batch docs alike — the q_dedup_incremental partner rule,
+    * but with the exact no-miss guarantee instead of LSH probability).
+    *
+    * Filter legality under new-vs-old pairing (sizes unordered): a
+    * qualifying pair has o ≥ t·√(na·nb), which forces BOTH length
+    * conditions (t²·na ≤ nb and t²·nb ≤ na) and makes the required
+    * prefix on EACH side no longer than the t² prefix
+    * (n − ⌈t²·n⌉ + 1) — so both sides index/probe that longer prefix
+    * and the equi-join misses no qualifying pair; the positional prune
+    * and rank-bounded verify carry over unchanged (their arguments are
+    * side-symmetric). Candidates are O(batch-prefix × posting-list) —
+    * the accumulated side is only ever probed through the term-id
+    * equi-join, never rescanned pairwise (ApssSpec pins the plan).
+    *
+    * Oracle: the UNFILTERED brute force restricted to pairs whose newer
+    * side is in the batch — hash equality proves the incremental filter
+    * chain lossless, same bar as q_sim_apss.
+    */
+  private val apssIncSpark = """
+    WITH cut AS (SELECT (MAX(doc_id) * 85) DIV 100 AS c FROM documents),
+    probe AS (
+      SELECT doc_id, term, n, p FROM apss_pos
+      WHERE doc_id > (SELECT c FROM cut)
+        AND p <= n - ((49 * n + 99) DIV 100) + 1),
+    idx AS (
+      SELECT doc_id, term, n, p FROM apss_pos
+      WHERE p <= n - ((49 * n + 99) DIV 100) + 1),
+    cand AS (
+      SELECT fx.doc_id AS ca, pr.doc_id AS cb, fx.n AS na, pr.n AS nb,
+             MIN(fx.p) AS mpa, MIN(pr.p) AS mpb
+      FROM probe pr JOIN idx fx ON pr.term = fx.term
+      WHERE fx.doc_id < pr.doc_id
+        AND 49 * fx.n <= 100 * pr.n AND 49 * pr.n <= 100 * fx.n
+      GROUP BY fx.doc_id, pr.doc_id, fx.n, pr.n),
+    pruned AS (
+      SELECT ca, cb, na, nb, mpa, mpb FROM cand
+      WHERE 100 * LEAST(na - mpa + 1, nb - mpb + 1)
+                * LEAST(na - mpa + 1, nb - mpb + 1) >= 49 * na * nb),
+    ovl AS (
+      SELECT c.ca, c.cb, c.na, c.nb, COUNT(*) AS o
+      FROM pruned c
+      JOIN apss_pos wa ON wa.doc_id = c.ca AND wa.p >= c.mpa
+      JOIN apss_pos wb ON wb.doc_id = c.cb AND wb.term = wa.term AND wb.p >= c.mpb
+      GROUP BY c.ca, c.cb, c.na, c.nb)
+    SELECT ca AS a_id, cb AS b_id, o, na, nb
+    FROM ovl
+    WHERE 100 * o * o >= 49 * na * nb"""
+
+  private val apssIncDuck = """
+    WITH w AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) AS term FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                 i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS sh
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+        WHERE len(ws) >= 3)),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY doc_id),
+    cut AS (SELECT CAST(MAX(doc_id) * 85 // 100 AS BIGINT) AS c FROM documents),
+    ovl AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS o
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      WHERE b.doc_id > (SELECT c FROM cut)
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT a_id, b_id, o, sa.n AS na, sb.n AS nb
+    FROM ovl
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE 100 * o * o >= 49 * sa.n * sb.n"""
+
+  val qSimApssIncremental = QDef(
+    "q_sim_apss_incremental",
+    (s, d) => { graft.Tables.register(s, d); posView(s, d); s.sql(apssIncSpark) },
+    Some(apssIncDuck))
+
+  val defs: Seq[QDef] = Seq(qSimApss, qSimApssIncremental)
 }

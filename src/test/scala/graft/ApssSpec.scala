@@ -56,6 +56,62 @@ class ApssSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
 
+  /** The incremental split the engine and oracle both use. */
+  private def cutoff(docs: Seq[(Long, String)]): Long =
+    docs.map(_._1).max * 85 / 100
+
+  private def bruteIncremental(docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long, Long)] = {
+    val c = cutoff(docs)
+    brute(docs).filter { case (_, b, _, _, _) => b > c }
+  }
+
+  private def runIncremental(dir: String): Set[(Long, Long, Long, Long, Long)] =
+    SparkEntry.queries("q_sim_apss_incremental")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  test("q_sim_apss_incremental equals the brute force restricted to new-side-in-batch pairs") {
+    // size-asymmetric near-dups ACROSS the split boundary: the pair
+    // ordering here is by doc_id (new probes old), not by size, so both
+    // directions of the length filter and the t^2 prefixes get exercised
+    val base = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    val docs = Seq[(Long, String)](
+      (1L, base),                           // accumulated
+      (2L, base + " y1 y2"),                // accumulated near-dup of 1
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8"),      // accumulated, unrelated
+      (90L, base + " w1"),                  // batch: bigger than 1, smaller than 2+
+      (92L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"), // batch pair, earlier side
+      (95L, "z1 z2 z3 z4 z5 z6 z7 z8 z9"),  // batch: near-dup of 3
+      (97L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10 v1"), // batch: near-dup of 92
+      (99L, "q1 q2 q3 q4 q5"))              // batch: no partner
+    val dir = "synth://apss-inc"
+    seedDocs(dir, docs)
+    val want = bruteIncremental(docs)
+    assert(want.nonEmpty, "fixture must produce cross-split qualifying pairs")
+    assert(want.exists { case (a, _, _, _, _) => a >= 90 },
+      "fixture must cover batch-to-batch pairs too")
+    // the full-pair set is strictly larger: accumulated-only pairs (1,2)
+    // must NOT appear in the incremental result
+    assert(brute(docs).size > want.size, "split must exclude accumulated-only pairs")
+    assert(runIncremental(dir) === want)
+  }
+
+  test("q_sim_apss_incremental: batch probes the memoized index, never rescans pairwise") {
+    val df = SparkEntry.queries("q_sim_apss_incremental")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"all-pairs operator in the incremental APSS plan:\n$plan")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("InMemoryRelation"),
+      "incremental probe must reuse the memoized posting index")
+    // the probe side is BATCH-BOUNDED: the cutoff predicate must sit in
+    // the plan (candidates are O(batch-prefix x posting-list), so the
+    // accumulated side is only reached through the term equi-join)
+    assert(optimized.contains("(doc_id"),
+      s"batch cutoff filter missing from the probe side:\n$optimized")
+  }
+
   test("q_sim_apss equals the unfiltered brute force on threshold-edge corpora") {
     val dir = "synth://apss-edge"
     // a/b identical (cos 1), a/c one changed word (high but < 1),
