@@ -49,12 +49,17 @@ object Graph extends QModule {
     * delivers zero messages), same as the dst-gated form ±1 round.
     *
     * Long diameters (r11): the program is a monotone min-relaxation, so
-    * it hop-batches ([[graft.operators.Pregel.setHopBatch]]) — 8
-    * relaxation layers per superstep means ⌈diameter/8⌉ checkpoints and
-    * driver round-trips instead of one per hop: the sf0.1 chains (~24
-    * hops) settle in 4 supersteps, and the ×10 replica-chain fixture
-    * (~240-hop diameter) converges in ~31 supersteps WITHOUT raising
-    * maxIter to the diameter (the r10 refusal case).
+    * it hop-batches ([[graft.operators.Pregel.setHopBatch]]), and the
+    * batch size is DATA-DRIVEN: the diameter of this graph is the max
+    * chain length, which one map-side-combinable aggregate prices
+    * before the loop (the memoized-max-id / bounds-probe precedent), so
+    * k = ⌈maxChain/30⌉ (capped at 64 to bound per-superstep plan size)
+    * targets ~30 supersteps at ANY corpus scale without touching
+    * maxIter: sf0.1 (~24-hop chains) keeps k=1 and its per-hop price,
+    * the ×10 replica-chain fixture (~240-hop diameter, the r10 refusal
+    * case) converges in ~31 supersteps, and ×100 (~2400 hops) in ~39 —
+    * past chain length 64·60 the run refuses loudly again (raise
+    * maxIter), never returns partial distances.
     */
   val qGraphSssp = QDef(
     "q_graph_sssp",
@@ -65,6 +70,10 @@ object Graph extends QModule {
       val seq = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
       val chain = o.withColumn("rn", row_number().over(seq))
+      // diameter probe: one combinable two-level aggregate, 1-row read
+      val maxChain = o.groupBy("o_custkey").count()
+        .agg(max("count")).head().getLong(0)
+      val hop = math.min(64L, math.max(1L, (maxChain + 29) / 30)).toInt
       val vertices = chain.select(
         col("o_orderkey").as("id"), (col("rn") === 1).as("is_root"))
       val edges = chain.select(
@@ -85,7 +94,7 @@ object Graph extends QModule {
           when(Pregel.src("improved"), Pregel.src("dist") + Pregel.edge("w")))
         .aggMsgs(min(Pregel.msg))
         .setMaxIter(60)
-        .setHopBatch(8)
+        .setHopBatch(hop)
         .setTag("sssp")
         .run()
         .select(col("id").as("o_orderkey"), col("dist").as("dist_cents"))
