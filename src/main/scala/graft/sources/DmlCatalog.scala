@@ -162,15 +162,24 @@ class DmlCatalog extends TableCatalog with SupportsNamespaces with ProcedureCata
   // it drops all but the newest `keep` version snapshots AND deletes the
   // parquet files no retained snapshot references; expired
   // `VERSION AS OF` reads then refuse loudly while retained ones serve.
+  // `optimize` is the layout step (Delta OPTIMIZE / Iceberg
+  // rewrite_data_files): bin-pack the live snapshot's files into
+  // ~target-sized ones as a NEW version — pure file-set metadata churn
+  // that file-backed snapshots make possible (r11).
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array("system"), "vacuum"))
+    Array(Identifier.of(Array("system"), "optimize"),
+      Identifier.of(Array("system"), "vacuum"))
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
-    val ok = ident.namespace().sameElements(Array("system")) &&
-      ident.name().equalsIgnoreCase("vacuum")
-    if (!ok) throw new RuntimeException(
-      s"procedure ${key(ident)} not found (try system.vacuum)")
-    new VacuumProcedure(tables)
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new RuntimeException(
+        s"procedure ${key(ident)} not found (try system.vacuum / system.optimize)")
+    ident.name().toLowerCase match {
+      case "vacuum" => new VacuumProcedure(tables)
+      case "optimize" => new OptimizeProcedure(tables)
+      case _ => throw new RuntimeException(
+        s"procedure ${key(ident)} not found (try system.vacuum / system.optimize)")
+    }
   }
 
   // Minimal namespace surface: a single implicit default namespace, so
@@ -225,6 +234,55 @@ private[sources] class VacuumProcedure(
             Array[Any](expired, retained))).copy()
         // procedure output must be a LocalScan in Spark 4.1 (the result is
         // driver-sized by definition — counts, not data)
+        val result = new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = out
+          override def rows(): Array[InternalRow] = Array(row)
+        }
+        util.List.of[Scan](result).iterator()
+      }
+    }
+}
+
+/** `system.optimize(table, target_mb)` — small-file compaction as a DSv2
+  * stored procedure over the file-backed snapshot store (the lakehouse
+  * `OPTIMIZE` / `rewrite_data_files` surface, and the operators/Compact
+  * idea applied to a GOVERNED table): the live snapshot's parquet files
+  * coalesce (ZERO shuffle — the q_src_compact contract) into
+  * ~`target_mb`-sized files written through the same staging path as any
+  * write, installed as a NEW VERSION whose rows are identical. Retained
+  * history still serves (time travel reads the old file sets until
+  * `vacuum` expires them), so OPTIMIZE is invisible to readers — the
+  * returned row reports (files_before, files_after, rows).
+  */
+private[sources] class OptimizeProcedure(
+    tables: ConcurrentHashMap[String, DmlTable])
+    extends procedures.UnboundProcedure {
+  override def name(): String = "optimize"
+  override def description(): String =
+    "bin-pack `table`'s live snapshot into ~target_mb parquet files as a new version"
+
+  override def bind(inputType: StructType): procedures.BoundProcedure =
+    new procedures.BoundProcedure {
+      override def name(): String = OptimizeProcedure.this.name()
+      override def description(): String = OptimizeProcedure.this.description()
+      override def isDeterministic: Boolean = false
+      override def parameters(): Array[procedures.ProcedureParameter] = Array(
+        procedures.ProcedureParameter.in("table", types.StringType).build(),
+        procedures.ProcedureParameter.in("target_mb", types.IntegerType).build())
+      override def call(input: InternalRow): util.Iterator[Scan] = {
+        val tname = input.getUTF8String(0).toString
+        val targetMb = input.getInt(1)
+        require(targetMb >= 1, s"optimize target_mb must be >= 1, got $targetMb")
+        val t = Option(tables.get(tname)).getOrElse(
+          throw new RuntimeException(s"optimize: no such table '$tname'"))
+        val (before, after, rows) = t.optimize(targetMb.toLong << 20)
+        val out = new StructType()
+          .add("files_before", types.IntegerType, nullable = false)
+          .add("files_after", types.IntegerType, nullable = false)
+          .add("rows", types.LongType, nullable = false)
+        val row = UnsafeProjection.create(out)(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](before, after, rows))).copy()
         val result = new org.apache.spark.sql.connector.read.LocalScan {
           override def readSchema(): StructType = out
           override def rows(): Array[InternalRow] = Array(row)
@@ -340,6 +398,41 @@ private[graft] class DmlTable(tableName: String, initialSchema: StructType, tabl
   }
 
   private[sources] def deleteStorage(): Unit = DmlStorage.deleteRecursively(tableDir)
+
+  /** Bin-pack the live snapshot into ~targetBytes files (see
+    * [[OptimizeProcedure]]): scan the current file set with the table
+    * schema (schema-on-read fills post-evolution columns), coalesce to
+    * the byte-sized file count — ZERO shuffle, the q_src_compact
+    * contract — and install the rewrite as a new version. Serialized
+    * with other writes by the version lock the installVersion path uses.
+    * Returns (files_before, files_after, rows).
+    */
+  private[sources] def optimize(targetBytes: Long): (Int, Int, Long) = {
+    val spark = SparkSession.active
+    val files = currentFiles
+    if (files.isEmpty) return (0, 0, 0L)
+    val totalBytes = files.map(new File(_).length()).sum
+    val n = math.max(1, ((totalBytes - 1) / targetBytes + 1)).toInt
+    val staging = newStagingDir()
+    spark.read.schema(tableSchema).parquet(files: _*)
+      .coalesce(n)
+      .write.mode("append").parquet(staging.getAbsolutePath)
+    val rows = spark.read.schema(tableSchema)
+      .parquet(staging.getAbsolutePath).count()
+    val packed = DmlStorage.listDataFiles(staging)
+    // optimistic-concurrency install (the lakehouse commit rule): a DML
+    // that committed while the rewrite ran would be LOST by a blind
+    // replace — refuse loudly instead, the caller retries
+    synchronized {
+      require(currentFiles == files,
+        s"optimize of '$tableName' lost a concurrency race — a write " +
+          "committed during the rewrite; retry")
+      opsSeen.add("OPTIMIZE")
+      currentFiles = packed
+      history.add(currentFiles)
+    }
+    (files.size, packed.size, rows)
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema

@@ -140,6 +140,38 @@ class DmlSpec extends SparkSpecBase {
     spark.sql("DROP TABLE graft_dml.t_tt")
   }
 
+  test("CALL system.optimize bin-packs the live snapshot as a new invisible version") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS graft_dml.t_opt")
+    // CTAS from a many-partition source fragments the snapshot naturally
+    spark.sql("""CREATE TABLE graft_dml.t_opt AS
+      SELECT /*+ REPARTITION(16) */ o_orderkey, o_totalprice FROM orders""")
+    val rows = spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_opt").head.getLong(0)
+    val before = dmlTable("t_opt").currentFiles.size
+    assert(before >= 8, s"fixture should fragment the snapshot (got $before files)")
+
+    val res = spark.sql("CALL graft_dml.system.optimize('t_opt', 64)").collect()
+    val (fb, fa, fr) = (res.head.getInt(0), res.head.getInt(1), res.head.getLong(2))
+    assert(fb == before && fa < fb && fr == rows, s"optimize reported ($fb, $fa, $fr)")
+    assert(dmlTable("t_opt").currentFiles.size == fa)
+    assert(dmlTable("t_opt").opsSeen.contains("OPTIMIZE"))
+
+    // invisible to readers: same rows, and the PRE-optimize version still
+    // serves its original file set through time travel
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_opt").head.getLong(0) == rows)
+    val sumBefore = spark.sql(
+      "SELECT CAST(SUM(o_orderkey) AS BIGINT) AS s FROM graft_dml.t_opt VERSION AS OF 0")
+      .head.getLong(0)
+    val sumAfter = spark.sql(
+      "SELECT CAST(SUM(o_orderkey) AS BIGINT) AS s FROM graft_dml.t_opt VERSION AS OF 1")
+      .head.getLong(0)
+    assert(sumBefore == sumAfter, "optimize must conserve every row")
+    // ... and DML keeps working on the packed layout
+    spark.sql("DELETE FROM graft_dml.t_opt WHERE o_orderkey % 2 = 0")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft_dml.t_opt").head.getLong(0) < rows)
+    spark.sql("DROP TABLE graft_dml.t_opt")
+  }
+
   test("CALL system.vacuum expires old snapshots through the DSv2 procedure surface") {
     init()
     spark.sql("DROP TABLE IF EXISTS graft_dml.t_vac")
@@ -147,9 +179,23 @@ class DmlSpec extends SparkSpecBase {
     spark.sql("DELETE FROM graft_dml.t_vac WHERE k >= 10")
     spark.sql("INSERT INTO graft_dml.t_vac VALUES (CAST(99 AS BIGINT))")
     // versions 0..2 exist; CALL with positional args expires all but 2
+    def diskParquet(): Int = {
+      val tableDir = new java.io.File(dmlTable("t_vac").currentFiles.head)
+        .getParentFile.getParentFile
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(tableDir)
+    }
+    val filesBefore = diskParquet()
     val res = spark.sql("CALL graft_dml.system.vacuum('t_vac', 2)").collect()
     assert(res.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 2)),
       s"vacuum result: ${res.mkString}")
+    // vacuum PHYSICALLY deletes the files only the expired version
+    // referenced (version 0 = the CTAS files; versions 1..2 share the
+    // post-DELETE rewrite's files)
+    assert(diskParquet() < filesBefore,
+      s"vacuum must delete expired versions' files ($filesBefore on disk before and after)")
     def countAt(v: Int): Long =
       spark.sql(s"SELECT COUNT(*) AS c FROM graft_dml.t_vac VERSION AS OF $v").head.getLong(0)
     val e = intercept[Exception](countAt(0))
