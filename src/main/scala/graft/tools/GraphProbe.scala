@@ -31,7 +31,8 @@ object GraphProbe {
     try {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
-      for (pass <- 1 to 2) { // pass 1 warms codegen; pass 2 is the read
+      val passes = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "2").toInt
+      for (pass <- 1 to passes) { // pass 1 warms codegen; pass 2 is the read
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val total = (System.nanoTime() - t0) / 1e9

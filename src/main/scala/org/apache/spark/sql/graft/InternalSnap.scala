@@ -149,6 +149,22 @@ object InternalSnap {
     }
   }
 
+  /** Release a dead SNAPPED frame's block-manager storage NOW instead of
+    * waiting for the ContextCleaner's GC sweep: an iterative loop that
+    * snaps per round (worse, per hop-batch LAYER) otherwise accumulates
+    * every generation's blocks for the run's lifetime — measured 30 GB
+    * of /tmp block files in one ×100 hop-batched SSSP pass before this
+    * existed. Only call on frames whose consumers have fully
+    * materialized (the blocks cannot be recomputed — checkpointing
+    * truncated the lineage). Reliable-checkpoint FILES are not deleted
+    * (cheap, rare, and spec runs reuse them); only block storage frees.
+    */
+  def freeSnapped(df: DataFrame): Unit =
+    df.asInstanceOf[Dataset[Row]].queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Re-root a SNAPPED frame (a bare `LogicalRDD` leaf) into `session`,
     * preserving partitioning/stats/constraints — hands a loop's final
     * state back to the caller's session so downstream composition and
