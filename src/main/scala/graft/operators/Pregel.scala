@@ -272,35 +272,68 @@ final class Pregel private (
         new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.sql.SparkSession]())
       .computeIfAbsent(p,
         org.apache.spark.sql.graft.InternalSnap.loopSession(vertices, _))
-    val ls0 = sessionAt(sessionP)
-    var e = Iterate.snapKeyed(
-      edges.select(col("src").as("_esrc"), col("dst").as("_edst"),
-        struct(col("*")).as("edge")),
-      Seq(partKey), sessionP, reliable, Some(ls0))
-    var cur = Iterate.snapKeyed(
-      stateCols.foldLeft(vertices) {
-        case (df, (n, init, _)) => df.withColumn(n, init)
-      },
-      Seq("id"), sessionP, reliable, Some(ls0))
+    val edgesPrep = edges.select(col("src").as("_esrc"), col("dst").as("_edst"),
+      struct(col("*")).as("edge"))
+    val statePrep = stateCols.foldLeft(vertices) {
+      case (df, (n, init, _)) => df.withColumn(n, init)
+    }
     // Adaptive LOOP parallelism: per-superstep cost is dominated by task
     // count when partitions are small (measured: halving 64 trivial tasks
-    // halved the superstep), so size the loop's partition count from the
-    // now-materialized state/edge bytes at ~2 MB per partition — CAPPED
-    // at the session setting, so a real cluster's configured parallelism
-    // is never exceeded and only genuinely small state is consolidated.
-    // Reliable checkpoints persist outside the block manager (bytes
-    // unknown → keep the session setting).
+    // halved the superstep), so size the loop's partition count at
+    // ~2 MB per partition — CAPPED at the session setting, so a real
+    // cluster's configured parallelism is never exceeded and only
+    // genuinely small state is consolidated. Reliable checkpoints persist
+    // outside the block manager (bytes unknown → keep the session
+    // setting).
+    //
+    // r11: the count is sized from the optimizer's sizeInBytes ESTIMATE
+    // first, so both tables snap at their loop layout in ONE
+    // materialization each (the previous shape snapped both at the
+    // session count, read the real bytes, and re-snapped both — two extra
+    // jobs per run, which at bench scale was ~5% of a whole graph query).
+    // The estimate is then checked against the materialized bytes and the
+    // snap is REDONE only when it was off by more than 2× in either
+    // direction — estimates degrade on exotic inputs, and a wrong P is a
+    // parallelism decision the guard bounds, never a correctness one.
+    def pFor(bytes: BigInt): Int =
+      if (bytes <= 0) sessionP
+      else ((bytes - 1) / (2L << 20) + 1).min(BigInt(sessionP)).max(BigInt(1)).toInt
+    // Input sizing, best source first: when every plan leaf is an
+    // already-materialized snap (the checkpoint-fed callers), its block
+    // bytes are EXACT and free; otherwise the optimizer's sizeInBytes —
+    // a SERIALIZED-width estimate, measured 9-10× under the deserialized
+    // Tungsten blocks on the order-chain graphs (est 1.6 MB vs 16.7 MB),
+    // hence ×8 to land the one-shot guess inside the 2× guard band.
+    def inBytes(df: DataFrame): BigInt =
+      org.apache.spark.sql.graft.InternalSnap.materializedInputBytes(df)
+        .map(BigInt(_))
+        .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes * 8)
+    val P0 =
+      if (reliable) sessionP
+      else pFor(inBytes(edgesPrep).max(inBytes(statePrep)))
+    val ls0 = sessionAt(P0)
+    var e = Iterate.snapKeyed(edgesPrep, Seq(partKey), P0, reliable, Some(ls0))
+    var cur = Iterate.snapKeyed(statePrep, Seq("id"), P0, reliable, Some(ls0))
     val P = {
       val bytes = math.max(
         org.apache.spark.sql.graft.InternalSnap.snappedStorageBytes(e),
         org.apache.spark.sql.graft.InternalSnap.snappedStorageBytes(cur))
-      if (reliable || bytes == 0L) sessionP
-      else math.max(1, math.min(sessionP, ((bytes - 1) / (2L << 20) + 1).toInt))
+      val pReal = if (reliable || bytes == 0L) P0 else pFor(BigInt(bytes))
+      if (pReal > 2 * P0 || P0 > 2 * pReal) pReal else P0
     }
-    val ls = if (P == sessionP) ls0 else sessionAt(P)
-    if (P != sessionP) {
+    if (sys.env.get("SPARK_GRAFT_PREGEL_TIMING").contains("1"))
+      System.err.println(s"[pregel-timing] P0=$P0 P=$P sessionP=$sessionP " +
+        s"estE=${edgesPrep.queryExecution.optimizedPlan.stats.sizeInBytes} " +
+        s"estS=${statePrep.queryExecution.optimizedPlan.stats.sizeInBytes} " +
+        s"realE=${org.apache.spark.sql.graft.InternalSnap.snappedStorageBytes(e)} " +
+        s"realS=${org.apache.spark.sql.graft.InternalSnap.snappedStorageBytes(cur)}")
+    val ls = if (P == P0) ls0 else sessionAt(P)
+    if (P != P0) {
+      val e0 = e; val cur0 = cur
       e = Iterate.snapKeyed(e, Seq(partKey), P, reliable, Some(ls))
       cur = Iterate.snapKeyed(cur, Seq("id"), P, reliable, Some(ls))
+      org.apache.spark.sql.graft.InternalSnap.freeSnapped(e0)
+      org.apache.spark.sql.graft.InternalSnap.freeSnapped(cur0)
     }
     var i = 0
     var active = true

@@ -69,17 +69,25 @@ object Graph extends QModule {
         cents(col("o_totalprice")).as("w"))
       val seq = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val chain = o.withColumn("rn", row_number().over(seq))
-      // diameter probe: one combinable two-level aggregate, 1-row read
-      val maxChain = o.groupBy("o_custkey").count()
-        .agg(max("count")).head().getLong(0)
+      // ONE window pass, localCheckpointed (r11): vertices, edges AND the
+      // diameter probe all derive from the same succession window, which
+      // previously ran once per consumer (vertices snap, edges snap, probe
+      // scan — three corpus passes). The checkpoint is O(|orders|) narrow
+      // rows; the probe becomes a max() over its blocks (max rn per
+      // customer IS the chain length), not a separate scan+aggregate job.
+      val chain = o.select(
+        col("o_orderkey"), col("o_custkey"), col("w"),
+        row_number().over(seq).as("rn"),
+        lead(col("o_orderkey"), 1).over(seq).as("nk"),
+        lead(col("w"), 1).over(seq).as("nw"))
+        .localCheckpoint()
+      // diameter probe: 1-row read over the checkpointed chain
+      val maxChain = chain.agg(max("rn")).head().getInt(0).toLong
       val hop = math.min(64L, math.max(1L, (maxChain + 29) / 30)).toInt
       val vertices = chain.select(
         col("o_orderkey").as("id"), (col("rn") === 1).as("is_root"))
       val edges = chain.select(
-        col("o_orderkey").as("src"),
-        lead(col("o_orderkey"), 1).over(seq).as("dst"),
-        lead(col("w"), 1).over(seq).as("w"))
+        col("o_orderkey").as("src"), col("nk").as("dst"), col("nw").as("w"))
         .where(col("dst").isNotNull)
       Pregel(vertices, edges)
         // "improved" updates FIRST so it compares the message against the
@@ -126,7 +134,12 @@ object Graph extends QModule {
   val qGraphCc = QDef(
     "q_graph_cc",
     (s, d) => {
+      // localCheckpoint: the verified-pairs frame is tiny (LSH-verified
+      // near-dup pairs) but its lineage is the whole minhash→band→verify
+      // pipeline, which the four references below (vertices union ×2,
+      // edges union ×2) would otherwise replay (r11).
       val pairs = Dedup.qDedupJaccard.fn(s, d).select("a_id", "b_id")
+        .localCheckpoint()
       val vertices = pairs.select(col("a_id").as("id"))
         .union(pairs.select(col("b_id"))).distinct()
       val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -176,13 +189,15 @@ object Graph extends QModule {
     (s, d) => {
       val seq = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
+      // ONE window pass, localCheckpointed — vertices and edges both
+      // derive from it (the qGraphSssp pattern, r11).
       val chain = t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        .withColumn("rn", row_number().over(seq))
+        .select(col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(seq).as("nk"))
+        .localCheckpoint()
       val vertices = chain.select(col("o_orderkey").as("id"))
       val edges = chain.select(
-        col("o_orderkey").as("src"),
-        lead(col("o_orderkey"), 1).over(seq).as("dst"))
+        col("o_orderkey").as("src"), col("nk").as("dst"))
         .where(col("dst").isNotNull)
       Pregel(vertices, edges)
         .withVertexColumn("a", lit(1L),

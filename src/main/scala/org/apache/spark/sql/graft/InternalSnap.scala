@@ -149,6 +149,28 @@ object InternalSnap {
     }
   }
 
+  /** Block-manager bytes of ALL materialized-RDD leaves under `df`'s
+    * plan, when EVERY leaf is one (a checkpointed/snapped input) and has
+    * known storage — the exact input size of a frame derived from
+    * materialized state, available without a job. `None` when any leaf is
+    * a live source (parquet scan, range …) or its blocks are unknown —
+    * callers fall back to optimizer estimates.
+    */
+  def materializedInputBytes(df: DataFrame): Option[Long] = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    val leaves = ds.queryExecution.analyzed.collectLeaves()
+    if (leaves.isEmpty) return None
+    val sizes = leaves.map {
+      case l: LogicalRDD =>
+        ds.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .getOrElse(-1L)
+      case _ => -1L
+    }
+    if (sizes.forall(_ > 0L)) Some(sizes.sum) else None
+  }
+
   /** Release a dead SNAPPED frame's block-manager storage NOW instead of
     * waiting for the ContextCleaner's GC sweep: an iterative loop that
     * snaps per round (worse, per hop-batch LAYER) otherwise accumulates

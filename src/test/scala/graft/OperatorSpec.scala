@@ -1184,9 +1184,21 @@ class OperatorSpec extends SparkSpecBase {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       s"incremental dedup degraded to a cartesian:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"band index not served from the session-memoized cache:\n$p")
-    assert(p.contains("LeftSemi"),
-      s"verify-side shingle explode not candidate-bounded:\n$p")
+    // r11: the candidate-pair and candidate-shingle intermediates are
+    // localCheckpointed (their lineage was replayed once per reference),
+    // so the contracts live on the PRE-checkpoint subtrees recorded in
+    // Dedup.lastParts — the subtrees that actually executed.
+    val cand = queries.Dedup.lastParts.get("inc-cand")
+    cand.collect()
+    val pc = cand.queryExecution.executedPlan.toString
+    assert(!pc.contains("CartesianProduct"),
+      s"candidate generation degraded to a cartesian:\n$pc")
+    assert(pc.contains("InMemoryTableScan"),
+      s"band index not served from the session-memoized cache:\n$pc")
+    val sdist = queries.Dedup.lastParts.get("inc-sdist")
+    sdist.collect()
+    val ps = sdist.queryExecution.executedPlan.toString
+    assert(ps.contains("LeftSemi"),
+      s"verify-side shingle explode not candidate-bounded:\n$ps")
   }
 }
