@@ -101,16 +101,43 @@ object Tables {
     }
   }
 
+  /** Scale-adaptive fan-out (r11; guide §2.2 "do fewer shuffles" cuts the
+    * other way when the SCAN itself is the bottleneck): repartition a
+    * frame whose scan cannot fill the configured parallelism to
+    * `defaultParallelism`, a NO-OP whenever the scan already yields at
+    * least half the cores' partitions. The driver fixtures are
+    * single-row-group parquet files — Spark cannot split a row group, so
+    * every scan stage ran ONE task and compute-heavy per-row projections
+    * (the BPE replace tower, per-gram digests) serialized on one core. At
+    * any real scale the input splits past the core count and this adds
+    * nothing — the gate reads the actual planned partition count, not a
+    * constant tuned for local mode.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= cores) df else df.repartition(cores)
+  }
+
   /** Registers every table as a temp view named after its file. Idempotent.
     * Also ensures the engine's native functions exist even when the session
     * was built without [[graft.GraftExtensions]] (e.g. a host-provided
     * session), so every declared query runs on any SparkSession.
+    *
+    * The `documents` view registers FAN-WRAPPED ([[fanOut]]): the text
+    * corpus is the one table whose SQL consumers are compute-bound per
+    * row (BPE token streams, per-gram digests, simhash votes) with no
+    * selective-pushdown patterns, so under-parallel scans dominated those
+    * queries at bench scale. Structural consumers (`Tables.load`) are
+    * untouched.
     */
   def register(spark: SparkSession, dir: String): Unit = {
     val st = state(spark)
     ensureFunctions(spark)
     if (st.registeredDir != dir) {
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      names.foreach { n =>
+        val df = load(spark, dir, n)
+        (if (n == "documents") fanOut(df) else df).createOrReplaceTempView(n)
+      }
       st.registeredDir = dir
     }
   }

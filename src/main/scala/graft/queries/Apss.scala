@@ -84,7 +84,9 @@ object Apss extends QModule {
       // alive across multi-dir sessions (found by ApssSpec's plan
       // contract failing only in full-suite order).
       graft.Tables.ensureFunctions(s)
-      graft.Tables.load(s, d, "documents")
+      // fanOut: the one-time posting-index build digests every shingle;
+      // single-row-group fixture scans otherwise run it on one core (r11)
+      graft.Tables.fanOut(graft.Tables.load(s, d, "documents"))
         .selectExpr("doc_id", "split(lower(text), ' ') AS ws")
         .where("size(ws) >= 3")
         .selectExpr("doc_id",

@@ -509,14 +509,30 @@ object Graph extends QModule {
         // silently rebuilding the co-purchase self-join per query.
         // Structural load keeps the memo alive across multi-dir
         // sessions. Mirrors [[kcoreEdgesSql]] (still the oracle text).
-        val li = graft.Tables.load(s, d, "lineitem")
+        //
+        // r11 build-shape fixes (one-time cost, but it was 44-66 s at
+        // sf0.1): fanOut parallelizes the single-row-group scan feeding
+        // both join sides; SHUFFLE_HASH skips the useless sort (the
+        // qGraphTriangles argument — the output feeds an aggregate);
+        // and e0 is localCheckpointed BEFORE symmetrization — the
+        // unpersisted union evaluated the whole join+distinct-count
+        // subtree once PER LEG (measured as two concurrent 44 s
+        // single-task stages under AQE's advisory-size coalescing).
+        // distinct-then-count, NOT countDistinct: the single-distinct
+        // aggregate's planner rewrite measured 38.9 s under AQE where the
+        // explicit (a, b, ok).distinct() → count form runs 3.9 s on the
+        // same input (KcoreBuildProbe) — same result, map-side-combinable
+        // dedup, no distinct-aggregate machinery.
+        val li = graft.Tables.fanOut(graft.Tables.load(s, d, "lineitem"))
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
-        val e0 = li
+        val e0 = li.hint("shuffle_hash")
           .join(li.select(col("ok").as("ok2"), col("a").as("b")),
             col("ok") === col("ok2") && col("a") < col("b"))
-          .groupBy("a", "b").agg(countDistinct("ok").as("nord"))
+          .select("a", "b", "ok").distinct()
+          .groupBy("a", "b").agg(count(lit(1)).as("nord"))
           .where(col("nord") >= 2)
           .select("a", "b")
+          .localCheckpoint()
         e0.select(col("a").as("u"), col("b").as("v"))
           .unionAll(e0.select(col("b").as("u"), col("a").as("v")))
           .persist()

@@ -24,10 +24,19 @@ object QueryProbe {
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val shufW = new java.util.concurrent.atomic.AtomicLong
     val recs = new java.util.concurrent.atomic.AtomicLong
+    val stageDetail = sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.incrementAndGet()
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        if (stageDetail) {
+          val i = e.stageInfo
+          val ms = (for (a <- i.completionTime; b <- i.submissionTime)
+            yield a - b).getOrElse(-1L)
+          if (ms >= 300)
+            println(f"[probe-stage] id=${i.stageId} ${ms}ms tasks=${i.numTasks} ${i.name.take(90)}")
+        }
+      }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = e.taskMetrics
