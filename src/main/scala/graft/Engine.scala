@@ -37,10 +37,18 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Coalesce to the advisory size rather than preserving parallelism:
-      // the production-recommended posture — fewer, right-sized reducers
-      // (at toy scale it also removes per-task scheduling overhead).
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Keep Spark's DEFAULT parallelism-first coalescing (r11): with
+      // `false`, AQE coalesces every small post-shuffle stage to the
+      // 64 MB advisory size — at bench scale that is ONE task, so window
+      // sorts, final aggregates and cache builds serialized on one core
+      // (measured: the kcore edge build's final aggregate ran 44 s
+      // single-task; q_tpcds_q65's 600 k-row window ran one task). The
+      // default first fills `defaultParallelism` partitions (≥ 1 MB
+      // each), which is scale-correct by construction: small shuffles
+      // still use the machine, large shuffles are bounded by the
+      // advisory size either way. Production clusters that prefer
+      // fewer/larger reducers can set this false per-deploy.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // Streaming state at 100 TB: RocksDB keeps per-executor state off
       // the JVM heap with incremental checkpoints (SURVEY §2.9 state

@@ -282,7 +282,10 @@ object Graph extends QModule {
       // signature-table pattern): without it the three self-join legs
       // would each replay the lineitem self-join + distinct.
       val or = graft.SessionCache.memo(s, s"tri-oriented:$d") {
-        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        // fanOut: single-row-group fixture scans otherwise feed the
+        // one-time self-join build from one task (r11).
+        val li = graft.Tables.fanOut(t(s, d, "lineitem"))
+          .select(col("l_orderkey"), col("l_partkey"))
         val co = li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pk2"))
         // SHUFFLE_HASH, not sort-merge: the self-join's output feeds a
         // hash distinct, so the sort order SMJ buys is pure waste — and
