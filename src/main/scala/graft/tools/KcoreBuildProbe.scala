@@ -34,6 +34,15 @@ object KcoreBuildProbe {
         .select("a", "b", "ok").distinct()
         .groupBy("a", "b").agg(count(lit(1)).as("nord"))
         .where(col("nord") >= 2).select("a", "b"))
+      // the shipped build shape's formatted plan, for plans/r11 evidence
+      val shipped = joined
+        .select("a", "b", "ok").distinct()
+        .groupBy("a", "b").agg(count(lit(1)).as("nord"))
+        .where(col("nord") >= 2).select("a", "b")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("plans/r11/q_graph_kcore_build_after.txt"),
+        shipped.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       val noAqe = s.newSession()
       noAqe.conf.set("spark.sql.adaptive.enabled", "false")
       graft.Tables.clear(noAqe)
