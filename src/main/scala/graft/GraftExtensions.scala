@@ -20,5 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.optimizer.FoldDotProduct)
     ext.injectOptimizerRule(_ => graft.optimizer.BitmapDistinct)
+    // Canonicalization-safe scans for graft-snapped checkpoints: restores
+    // ReuseExchange over snap-rooted subtrees (fused Pregel supersteps) —
+    // see org.apache.spark.sql.graft.SnapScanExec.
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.SnapScanStrategy)
   }
 }

@@ -83,7 +83,26 @@ object Graph extends QModule {
         .localCheckpoint()
       // diameter probe: 1-row read over the checkpointed chain
       val maxChain = chain.agg(max("rn")).head().getInt(0).toLong
-      val hop = math.min(64L, math.max(1L, (maxChain + 29) / 30)).toInt
+      // Hop sizing (r12): a floor of 4 engages when the graph's blocks
+      // are SMALL — fused layers (Pregel.setLayerFuse, no per-layer
+      // snap) then trade cheap block re-reads for saved per-round floors
+      // (sf0.1: 24 supersteps → 7; fuse-knee measured k=3 4.25 s, k=4
+      // 4.10 s, k=6 7.1 s — 2^k plan growth; unfused 5.4 s). The floor
+      // is gated on the EXACT checkpointed chain bytes with the same
+      // threshold Pregel's own fuse gate uses, because at big state the
+      // re-reads invert the trade (×10, 184 MB blocks: fused 133 s vs
+      // per-layer 100 s — measured both ways); big graphs keep the r11
+      // ⌈d/30⌉ sizing (×10 ≈ 240 → k=8, ~31 supersteps, per-layer
+      // snapped). Raising the floor is the MONOTONE-relaxation opt-in
+      // (extra post-fixpoint layers are no-ops for least/min folds);
+      // Pregel cannot auto-raise it for arbitrary programs.
+      val chainBytes =
+        org.apache.spark.sql.graft.InternalSnap.snappedStorageBytes(chain)
+      val fuseMax = s.conf
+        .get("spark.graft.pregel.fuseMaxBytes", (48L << 20).toString).toLong
+      val floor = if (chainBytes > 0 && chainBytes <= fuseMax) 4L else 1L
+      val hop = math.min(64L,
+        math.max(math.min(floor, math.max(1L, maxChain)), (maxChain + 29) / 30)).toInt
       val vertices = chain.select(
         col("o_orderkey").as("id"), (col("rn") === 1).as("is_root"))
       val edges = chain.select(
@@ -195,6 +214,11 @@ object Graph extends QModule {
         .select(col("o_orderkey"),
           lead(col("o_orderkey"), 1).over(seq).as("nk"))
         .localCheckpoint()
+      val chainBytes =
+        org.apache.spark.sql.graft.InternalSnap.snappedStorageBytes(chain)
+      val fuseMax = s.conf
+        .get("spark.graft.pregel.fuseMaxBytes", (48L << 20).toString).toLong
+      val rankHop = if (chainBytes > 0 && chainBytes <= fuseMax) 4 else 1
       val vertices = chain.select(col("o_orderkey").as("id"))
       val edges = chain.select(
         col("o_orderkey").as("src"), col("nk").as("dst"))
@@ -205,7 +229,16 @@ object Graph extends QModule {
         .withVertexColumn("p20", lit(1L), col("p20") * lit(20L))
         .sendMsgToDst(Pregel.src("a"))
         .aggMsgs(sum(Pregel.msg))
-        .setMaxIter(PrIter)
+        // r12: the same PrIter layers, batched hop-per-superstep and
+        // FUSED (no per-layer snap — Pregel.setLayerFuse): a
+        // fixed-iteration program is exact under hop batching when
+        // supersteps × hopBatch = the declared iteration count (8 layers
+        // either way; the oracle's closed form is per-LAYER). The batch
+        // engages only in the small-block regime (the qGraphSssp gate —
+        // at big state fused re-reads cost more than the saved floors),
+        // so big graphs keep 8 driver rounds, small ones pay 2.
+        .setMaxIter(PrIter / rankHop)
+        .setHopBatch(rankHop)
         .setRequireConverged(false)
         .setTag("rank")
         .run()

@@ -1,10 +1,15 @@
 package org.apache.spark.sql.graft
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.plans.logical.Statistics
-import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Statistics}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning}
 import org.apache.spark.sql.classic.{Dataset, SparkSession}
-import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.{LeafExecNode, LogicalRDD, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.functions.col
 
 /** The one file that touches `private[sql]` API (hence the package): a
@@ -41,6 +46,14 @@ import org.apache.spark.sql.functions.col
 object InternalSnap {
 
   private val Cap = BigInt(Long.MaxValue)
+
+  /** RDD ids of graft-snapped checkpoints — the [[SnapScanStrategy]] gate:
+    * only these scans get the canonicalization-fixed physical node, so
+    * every other LogicalRDD in the session plans exactly as stock Spark.
+    */
+  private val snapRddIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private[graft] def registerSnapRdd(id: Int): Unit = snapRddIds.add(id)
+  private[graft] def isSnapRdd(id: Int): Boolean = snapRddIds.contains(id)
 
   /** @return `df` re-rooted on a copy of its `LogicalRDD` leaf whose
     *         carried statistics are capped at `Long.MaxValue`; returns
@@ -100,6 +113,7 @@ object InternalSnap {
           rowCount = s.rowCount.map(_.min(Cap)),
           attributeStats = s.attributeStats,
           isRuntime = s.isRuntime)
+        registerSnapRdd(l.rdd.id) // route through SnapScanStrategy (reuse fix)
         Dataset.ofRows(
           target,
           LogicalRDD(l.output, l.rdd, HashPartitioning(attrs, n),
@@ -187,6 +201,24 @@ object InternalSnap {
       case _ => ()
     }
 
+  /** Canonicalization-safe declared partitioning: Spark's `RDDScanExec`
+    * canonicalizes its `output` but NOT the declared `outputPartitioning`
+    * / `outputOrdering`, so two analyzer-deduplicated references to the
+    * SAME snapped RDD (fresh exprIds on the second occurrence) never
+    * compare `sameResult` — which silently disables `ReuseExchange` for
+    * every exchange whose subtree contains a snap scan. A fused Pregel
+    * superstep (k layers, no intermediate snap) relies on exactly that
+    * reuse: each layer's message-aggregation exchange appears once per
+    * consumer of the layer and must be computed once. [[normalizedPart]]
+    * is the missing normalization, used by [[SnapScanExec]].
+    */
+  private[graft] def normalizedPart(
+      p: Partitioning, output: Seq[Attribute]): Partitioning = p match {
+    case e: Expression =>
+      QueryPlan.normalizeExpressions(e, output).asInstanceOf[Partitioning]
+    case other => other
+  }
+
   /** Re-root a SNAPPED frame (a bare `LogicalRDD` leaf) into `session`,
     * preserving partitioning/stats/constraints — hands a loop's final
     * state back to the caller's session so downstream composition and
@@ -205,5 +237,70 @@ object InternalSnap {
             target, Some(l.computeStats()), Some(l.constraints)))
       case _ => df
     }
+  }
+}
+
+/** Physical scan for graft-SNAPPED checkpoints — execution-identical to
+  * Spark's `RDDScanExec` (same unsafe-projection iterator, same codegen
+  * input path, same row-count metric), with the canonicalization gap
+  * closed: `doCanonicalize` normalizes the DECLARED partitioning and
+  * ordering against the node's own output, so deduplicated references to
+  * one snap compare `sameResult` and `ReuseExchangeAndSubquery` can
+  * dedupe the identical exchanges above them (see
+  * [[InternalSnap.normalizedPart]]). Planned only for RDD ids registered
+  * by [[InternalSnap.snapHashPartitioned]] — every other `LogicalRDD`
+  * keeps stock planning.
+  */
+case class SnapScanExec(
+    output: Seq[Attribute],
+    rdd: RDD[InternalRow],
+    override val outputPartitioning: Partitioning,
+    override val outputOrdering: Seq[SortOrder])
+  extends LeafExecNode with org.apache.spark.sql.execution.InputRDDCodegen {
+
+  // one token: CodegenSupport derives generated-variable prefixes from
+  // nodeName, and a space produces uncompilable Java identifiers
+  override val nodeName: String = "GraftSnapScan"
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    rdd.mapPartitionsWithIndexInternal { (index, iter) =>
+      val proj = UnsafeProjection.create(schema)
+      proj.initialize(index)
+      iter.map { r =>
+        numOutputRows += 1
+        proj(r)
+      }
+    }
+  }
+
+  override def inputRDD: RDD[InternalRow] = rdd
+  override protected val createUnsafeProjection: Boolean = true
+
+  override def simpleString(maxFields: Int): String =
+    s"$nodeName${org.apache.spark.sql.catalyst.util.truncatedString(
+      output, "[", ",", "]", maxFields)}"
+
+  override protected def doCanonicalize(): SparkPlan = {
+    val normOut = output.map(QueryPlan.normalizeExpressions(_, output))
+    copy(
+      output = normOut,
+      outputPartitioning = InternalSnap.normalizedPart(outputPartitioning, output),
+      outputOrdering = outputOrdering.map(QueryPlan.normalizeExpressions(_, output)))
+  }
+}
+
+/** Planner strategy routing graft-snapped `LogicalRDD`s to
+  * [[SnapScanExec]]; everything else falls through to Spark's own
+  * strategies. Injected by `graft.GraftExtensions`.
+  */
+object SnapScanStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case l: LogicalRDD if !l.isStreaming && InternalSnap.isSnapRdd(l.rdd.id) =>
+      SnapScanExec(l.output, l.rdd, l.outputPartitioning, l.outputOrdering) :: Nil
+    case _ => Nil
   }
 }

@@ -128,6 +128,15 @@ class PregelSpec extends SparkSpecBase {
     val r1 = Pregel.lastRuns.get("hop1").size
     assert(r1 >= 41, s"unbatched chain should take >= diameter rounds, took $r1")
     assert(r8 == 6, s"hop-batched rounds should be ceil(40/8)+1 = 6, took $r8")
+    // r12 layer fusion: composing layers UNMATERIALIZED (no per-layer lazy
+    // snap — setLayerFuse) is plan composition only; results must be
+    // bit-identical at every fuse width, including fully fused (f = k)
+    // and the old per-layer-snapped form (f = 1).
+    for (f <- Seq(1, 3, 8)) {
+      val fused = sssp(Pregel(vs, es).setMaxIter(10).setHopBatch(8).setLayerFuse(f))
+        .run().select("id", "dist").as[(Long, Long)].collect().toMap
+      assert(fused === want, s"layerFuse=$f distances diverged from unbatched")
+    }
   }
 
   test("non-convergence fails loudly; setRequireConverged(false) runs the fixed count") {
@@ -202,7 +211,7 @@ class PregelSpec extends SparkSpecBase {
     def count(plan: String, needle: String): Int =
       plan.linesIterator.count(_.contains(needle))
     val srcOnly = planFor("spec-prune-src", Pregel.src("x"))
-    assert(count(srcOnly, "Scan ExistingRDD") == 3,
+    assert(count(srcOnly, "GraftSnapScan") == 3,
       s"src-only superstep must scan exactly edges + state twice:\n$srcOnly")
     assert(count(srcOnly, "Join") == 2 && count(srcOnly, "Exchange") == 1,
       s"src-only superstep must be two joins and ONE frontier exchange:\n$srcOnly")
@@ -210,7 +219,7 @@ class PregelSpec extends SparkSpecBase {
       s"state must never broadcast inside the superstep loop:\n$srcOnly")
     val both = planFor("spec-prune-both",
       Pregel.src("x") + lit(0L) * Pregel.dst("x"))
-    assert(count(both, "Scan ExistingRDD") == 4,
+    assert(count(both, "GraftSnapScan") == 4,
       s"dst-reading superstep must scan the dst state too:\n$both")
   }
 
