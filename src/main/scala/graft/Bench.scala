@@ -405,12 +405,23 @@ object Bench {
     // those live in bench_last.json) so a tail-grabbing driver always ends
     // on a complete, parseable JSON object. The driver's capture keeps
     // the LAST 2000 chars, so the line budget is ~1900 (the [success]
-    // epilogue rides in the same tail): per-query medians print at 2
+    // epilogue rides in the same tail): per-query values print at 2
     // decimals here (full precision in bench_last.json), which fits the
     // current surface with ~200 chars of headroom; only past 1900 does
     // the map degrade to {} (it must never truncate mid-line — that is
     // how BENCH_r07 lost its parsed block entirely).
-    val qsCompact = perQuery.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }
+    //
+    // r12 measurement-bug fix (VERDICT r11 "what's wrong" #1): the
+    // compact `queries` map now carries the STEADY per-query medians
+    // (rounds 2..n) instead of the all-rounds median, so the driver's
+    // round-over-round per-query comparison measures warm plan shapes,
+    // not round-1 index builds on whatever host window the run landed on
+    // (r11's 32-core headline read 0.58 "slowdown" from exactly that).
+    // Both maps fit no other way under the 1900-char budget (2 × ~1200
+    // chars); the old all-rounds medians remain in bench_last.json
+    // (`queries`), alongside `queries_steady`/`queries_r1`/`build_s`,
+    // and the headline `value` is UNCHANGED (sum of all-rounds medians).
+    val qsCompact = perQuerySteady.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }
       .mkString("{", ",", "}")
     var compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,${tail(passesCompact, "")},"full":"bench_last.json"}"""

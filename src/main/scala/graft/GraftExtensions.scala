@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.optimizer.FoldDotProduct)
     ext.injectOptimizerRule(_ => graft.optimizer.BitmapDistinct)
+    ext.injectOptimizerRule(_ => graft.optimizer.DistinctThenCount)
     // Canonicalization-safe scans for graft-snapped checkpoints: restores
     // ReuseExchange over snap-rooted subtrees (fused Pregel supersteps) —
     // see org.apache.spark.sql.graft.SnapScanExec.

@@ -702,9 +702,15 @@ object Dedup extends QModule {
       // A head() read, not a broadcast crossJoin: the aggregate subtree
       // was referenced three times (index, probe, final batch scan) and
       // each broadcast replayed the documents scan as its own job (r11).
-      val thrV = t(s, d, "documents")
+      // Null-guarded (VERDICT r11 #7): max() over an EMPTY documents table
+      // returns a null row and getLong NPE'd at DataFrame-construction
+      // time. An empty corpus admits an empty batch — Long.MinValue keeps
+      // every downstream `doc_id > thr` predicate vacuously matching the
+      // oracle's `> NULL` (no rows on an empty table either way).
+      val thrRow = t(s, d, "documents")
         .agg(floor(max(col("doc_id")) * 0.9).cast("long").as("thr"))
-        .head().getLong(0)
+        .head()
+      val thrV = if (thrRow.isNullAt(0)) Long.MinValue else thrRow.getLong(0)
       val idx = bd
         .select(col("doc_id").as("old_id"), col("band"), col("bucket"))
       val probe = bd.where(col("doc_id") > thrV)

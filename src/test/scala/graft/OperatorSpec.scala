@@ -1201,4 +1201,18 @@ class OperatorSpec extends SparkSpecBase {
     assert(ps.contains("LeftSemi"),
       s"verify-side shingle explode not candidate-bounded:\n$ps")
   }
+
+  test("q_dedup_incremental admits nothing from an empty corpus instead of NPE-ing") {
+    // The construction-time threshold probe (1-row head(), r11) read
+    // getLong on max(doc_id) — null on an EMPTY documents table (VERDICT
+    // r11 #7). The empty corpus must yield an empty admission batch.
+    val dir = "synth://empty-docs"
+    Tables.names.filter(_ != "documents").foreach { n =>
+      Tables.seed(spark, dir, n, Tables.load(spark, sf, n))
+    }
+    Tables.seed(spark, dir, "documents",
+      Tables.load(spark, sf, "documents").where(lit(false)))
+    val out = SparkEntry.queries("q_dedup_incremental")(spark, dir).collect()
+    assert(out.isEmpty, s"empty corpus admitted ${out.length} rows")
+  }
 }
