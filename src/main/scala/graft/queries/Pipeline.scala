@@ -308,7 +308,31 @@ object Pipeline extends QModule {
 
   val qPipelineMix = QDef(
     "q_pipeline_mix",
-    sqlQ(pipelineMixSql("spark")),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      // Spark side rides Text.dsirRanked (no global single-partition
+      // windows, r12); the cut/shard stages below mirror the oracle text
+      // expression-for-expression. The lang window is PARTITIONED — the
+      // scale shape is unchanged.
+      val kept = Text.dsirRanked(s, d)
+        .where(expr("rn * 4 <= n_docs"))
+        .selectExpr("doc_id", "lang", "n_grams",
+          "md5(CONCAT('mix:', CAST(doc_id AS STRING))) AS mk")
+      val wCut = Window.partitionBy("lang").orderBy(col("mk"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val surv = kept
+        .withColumn("cum", sum("n_grams").over(wCut).cast("long"))
+        .where(expr("cum <= CASE lang WHEN 'en' THEN 2000 ELSE 800 END"))
+      surv
+        .selectExpr("""CAST(instr('0123456789abcdef',
+            substring(md5(CONCAT('mixshard:', CAST(doc_id AS STRING))), 1, 1)) - 1 AS INT) AS shard""",
+          "lang", "n_grams")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_grams").cast("long").as("n_toks"),
+          countDistinct(col("lang")).cast("long").as("n_langs"))
+    },
     Some(pipelineMixSql("duck")),
     bench = true)
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QDef, QModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline (builder brief /
@@ -481,12 +482,17 @@ object Text extends QModule {
     * ([[Pipeline.qPipelineMix]]) so the selection semantics are pinned
     * in exactly one place.
     */
-  private[queries] def dsirCtes(dialect: String): String = {
+  private val lb = (e: String) => s"CAST(FLOOR(LOG2(CAST($e AS DOUBLE))) AS BIGINT)"
+
+  /** tf → wf → scored: the single-corpus-pass part of the DSIR chain,
+    * shared by the Spark builder ([[dsirRanked]]) and the DuckDB oracle
+    * text ([[dsirCtes]]).
+    */
+  private[queries] def dsirScoredCtes(dialect: String): String = {
     val wordsRel = dialect match {
       case "spark" => "SELECT doc_id, lang, explode(split(lower(text), ' ')) AS w FROM documents"
       case _       => "SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents"
     }
-    val lb = (e: String) => s"CAST(FLOOR(LOG2(CAST($e AS DOUBLE))) AS BIGINT)"
     s"""tf AS (SELECT doc_id, lang, w, COUNT(*) AS c
                   FROM ($wordsRel) g WHERE w <> '' GROUP BY doc_id, lang, w),
       wf AS (SELECT doc_id, lang, c,
@@ -496,7 +502,11 @@ object Text extends QModule {
       scored AS (SELECT doc_id, lang,
                         CAST(SUM(c) AS BIGINT) AS n_grams,
                         CAST(SUM(c * (${lb("ct + 1")} - ${lb("cb + 1")})) AS BIGINT) AS lb_diff
-                 FROM wf GROUP BY doc_id, lang),
+                 FROM wf GROUP BY doc_id, lang)"""
+  }
+
+  private[queries] def dsirCtes(dialect: String): String = {
+    s"""${dsirScoredCtes(dialect)},
       totals AS (SELECT doc_id, lang, n_grams, lb_diff,
                         CAST(SUM(n_grams) OVER () AS BIGINT) AS nb,
                         CAST(SUM(CASE WHEN lang = 'en' THEN n_grams ELSE 0 END) OVER () AS BIGINT) AS nt
@@ -510,15 +520,51 @@ object Text extends QModule {
                  FROM llr)"""
   }
 
-  private def dsirSql(dialect: String): String = s"""
-      WITH ${dsirCtes(dialect)}
+  /** The DSIR `ranked` relation — (doc_id, lang, n_grams, llr_bits, rn,
+    * n_docs) — built WITHOUT global single-partition windows (r12;
+    * VERDICT r11 #3). The oracle keeps the `OVER ()` / global-ROW_NUMBER
+    * text ([[dsirCtes]], semantically identical); the Spark side:
+    *
+    *   - `scored` (doc grain — the §8 "lightweight proxy" of the corpus)
+    *     localCheckpoints once: it feeds the corpus totals AND the main
+    *     chain, which otherwise re-runs the corpus explode per consumer;
+    *   - corpus totals (nb, nt, n_docs) are a 1-row aggregate broadcast
+    *     back (was `SUM(…) OVER ()` — every doc row through ONE task);
+    *   - the global rank is [[graft.operators.GlobalOrder.rowNumber]]
+    *     (range-partitioned two-pass) instead of an unpartitioned
+    *     ROW_NUMBER window.
+    *
+    * Consumed by q_text_dsir and q_pipeline_mix — selection semantics
+    * stay pinned in exactly one place.
+    */
+  private[queries] def dsirRanked(s: SparkSession, d: String): DataFrame = {
+    graft.Tables.register(s, d)
+    val scored = s.sql(
+      s"WITH ${dsirScoredCtes("spark")} SELECT * FROM scored").localCheckpoint()
+    val totals = scored.agg(
+      sum("n_grams").cast("long").as("nb"),
+      sum(when(col("lang") === "en", col("n_grams")).otherwise(0L))
+        .cast("long").as("nt"),
+      count(lit(1)).as("n_docs"))
+    val llr = scored.crossJoin(broadcast(totals))
+      .selectExpr("doc_id", "lang", "n_grams",
+        s"CAST(lb_diff AS DOUBLE) / n_grams - (${lb("nt")} - ${lb("nb")}) AS llr_bits",
+        "n_docs")
+    graft.operators.GlobalOrder.rowNumber(
+      llr, Seq(col("llr_bits").desc, col("doc_id")), "rn")
+  }
+
+  private def dsirDuckSql: String = s"""
+      WITH ${dsirCtes("duck")}
       SELECT doc_id, n_grams, llr_bits, CAST(rn AS BIGINT) AS rn,
              CAST(CASE WHEN rn * 4 <= n_docs THEN 1 ELSE 0 END AS INT) AS keep
       FROM ranked"""
   val qTextDsir = QDef(
     "q_text_dsir",
-    sqlQ(dsirSql("spark")),
-    Some(dsirSql("duck")),
+    (s, d) => dsirRanked(s, d).selectExpr(
+      "doc_id", "n_grams", "llr_bits", "CAST(rn AS BIGINT) AS rn",
+      "CAST(CASE WHEN rn * 4 <= n_docs THEN 1 ELSE 0 END AS INT) AS keep"),
+    Some(dsirDuckSql),
     bench = true)
 
   /** BM25 relevance scoring against a fixed 3-term query (Robertson-style

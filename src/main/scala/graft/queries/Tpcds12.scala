@@ -65,7 +65,71 @@ object Tpcds12 extends QModule {
              p2.p_name AS worst_name
       FROM agg a JOIN part p1 ON p1.p_partkey = a.best_pk
                  JOIN part p2 ON p2.p_partkey = a.worst_pk"""
-  val qTpcdsQ44 = QDef("q_tpcds_q44", sqlQ(q44Sql), Some(q44Sql))
+
+  /** Spark side (r12; VERDICT r11 #3): the part-grain global windows
+    * (`OVER ()` totals, global ROW_NUMBER) funnel every part through ONE
+    * task at scale. This form is equivalent and window-free:
+    *
+    *   - `rev` (the one fact aggregate) localCheckpoints — it feeds the
+    *     totals and the qualification, which would otherwise re-scan the
+    *     fact (Spark inlines deterministic CTEs);
+    *   - the `OVER ()` totals become a 1-row aggregate broadcast back;
+    *   - only ranks 1..10 and n-9..n survive `pairs`, so the global
+    *     ROW_NUMBER is really a top-10/bottom-10: TakeOrderedAndProject
+    *     in both directions (distributed top-k — per-partition heaps, no
+    *     single-partition sort), then rank-by-position inside each ≤10-row
+    *     list via a tiny triangular self-join (rnk = 1 + #rows ahead).
+    *
+    * Equivalence: best side = qualified rows at rnk 1..min(n,10) in
+    * (rev_u DESC, pk); worst side = the same list read from the bottom
+    * (pair_rnk = n−rnk+1 ⇔ position in (rev_u ASC, pk DESC)); the
+    * pair-of-ranks inner join reproduces `agg` exactly (both sides exist
+    * iff pair_rnk ≤ min(n,10)). Oracle keeps the window text.
+    */
+  private def q44Fn(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.register(s, d)
+    val rev = s.sql(s"""SELECT l_partkey,
+        ${Exact.usumSql("l_extendedprice * (1 - l_discount)", 4)} AS rev_u
+        FROM lineitem GROUP BY l_partkey""").localCheckpoint()
+    // 1-row bounds probe over the checkpointed aggregate (the
+    // q_dedup_incremental precedent): literals keep the qualification's
+    // THREE consumers (top/bottom lists) from re-planning the totals
+    // subtree each (null on an empty fact → no part qualifies).
+    val g = rev.agg(count(lit(1)).as("n_all"),
+      sum("rev_u").cast("long").as("t_all")).head()
+    val qual =
+      if (g.isNullAt(1)) rev.where(lit(false)).select("l_partkey", "rev_u")
+      else rev
+        .where(col("rev_u") * lit(10L) * lit(g.getLong(0)) > lit(9L) * lit(g.getLong(1)))
+        .select("l_partkey", "rev_u")
+    def rankIn(top10: org.apache.spark.sql.DataFrame,
+        ahead: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+                org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+          => org.apache.spark.sql.Column,
+        pkOut: String) = {
+      val l = top10.select(col("rev_u").as("rv"), col("l_partkey").as("pk"))
+      val r = top10.select(col("rev_u").as("rv2"), col("l_partkey").as("pk2"))
+      l.join(broadcast(r), ahead(col("rv"), col("pk"), col("rv2"), col("pk2")), "left")
+        .groupBy(col("pk"))
+        .agg((count(col("pk2")) + 1L).as("pair_rnk"))
+        .select(col("pair_rnk"), col("pk").as(pkOut))
+    }
+    val best = rankIn(
+      qual.orderBy(col("rev_u").desc, col("l_partkey")).limit(10),
+      (rv, pk, rv2, pk2) => rv2 > rv || (rv2 === rv && pk2 < pk), "best_pk")
+    val worst = rankIn(
+      qual.orderBy(col("rev_u"), col("l_partkey").desc).limit(10),
+      (rv, pk, rv2, pk2) => rv2 < rv || (rv2 === rv && pk2 > pk), "worst_pk")
+    val part = graft.Tables.load(s, d, "part")
+    best.join(worst, "pair_rnk")
+      .join(part.select(col("p_partkey").as("bpk"), col("p_name").as("best_name")),
+        col("best_pk") === col("bpk"))
+      .join(part.select(col("p_partkey").as("wpk"), col("p_name").as("worst_name")),
+        col("worst_pk") === col("wpk"))
+      .selectExpr("CAST(pair_rnk AS INTEGER) AS rnk", "best_name", "worst_name")
+  }
+  val qTpcdsQ44 = QDef("q_tpcds_q44", q44Fn, Some(q44Sql))
 
   /** TPC-DS Q28 shape: six disjoint quantity-band legs over the fact,
     * each leg an OR of three value bands and each computing AVG + COUNT

@@ -132,9 +132,12 @@ object Windows extends QModule {
     (s, d) => {
       val c = t(s, d, "customer").select("c_custkey", "c_acctbal")
       val hist = c.groupBy("c_acctbal").agg(count(lit(1)).as("cnt"))
-      val wHist = Window.orderBy("c_acctbal")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val off = hist.withColumn("off", coalesce(sum("cnt").over(wHist), lit(0L)))
+      // r12: the cumulative histogram offset is a two-pass distributed
+      // prefix sum (GlobalOrder) — the previous unpartitioned window ran
+      // the whole histogram through one task (bounded for money-typed
+      // keys, but the shape generalizes to any key domain).
+      val off = graft.operators.GlobalOrder.prefixSum(
+        hist, Seq(col("c_acctbal")), col("cnt"), "off")
       val tot = c.agg(count(lit(1)).as("n"))
       val wIn = Window.partitionBy("c_acctbal").orderBy("c_custkey")
       c.join(off, "c_acctbal")

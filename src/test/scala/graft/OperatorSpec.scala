@@ -1012,15 +1012,21 @@ class OperatorSpec extends SparkSpecBase {
   test("TPC-DS batch-12 shapes: one fact aggregate feeds both rank directions, six distinct legs, OR'd existence join") {
     def plan(name: String) =
       SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
-    // Q44: the fact aggregates ONCE — the single-linear-chain rewrite
-    // (window gate + one rank pass + 2-row VALUES flat-map) must not
-    // recompute the part-grain CTE (the q_sim_ivf_topk inlining lesson)
+    // Q44 (r12 window-free form): the fact aggregates ONCE into a
+    // localCheckpoint at construction — the final plan must scan the
+    // checkpointed RDD, never re-scan lineitem, and the global ranks
+    // must plan as distributed top-k (TakeOrderedAndProject), with NO
+    // window at all (the old global ROW_NUMBER/OVER() funneled every
+    // part through one task — VERDICT r11 #3)
     val s44 = plan("q_tpcds_q44")
     val factScans44 = s44.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("lineitem"))
-    assert(factScans44 == 1, s"Q44 re-scans the fact ($factScans44 lineitem scans):\n$s44")
-    assert(s44.linesIterator.count(_.contains("Window")) >= 2,
-      s"Q44 lost the gate/rank windows:\n$s44")
+    assert(factScans44 == 0,
+      s"Q44 re-scans the fact past the checkpoint ($factScans44 lineitem scans):\n$s44")
+    assert(!s44.contains("Window"),
+      s"Q44 regressed to a window plan:\n$s44")
+    assert(s44.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2,
+      s"Q44 ranks did not plan as distributed top-k:\n$s44")
     // Q28: six independent band legs, each a two-phase distinct aggregate
     // (single-distinct rewrite: partial group-by the distinct column,
     // then partial_count(distinct ...) merge), collapsing to single-row
