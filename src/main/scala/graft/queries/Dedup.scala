@@ -207,21 +207,37 @@ object Dedup extends QModule {
       val cand = snapPart("jac-cand", candidatePairs(s, d))
       val candDocs = cand.select(col("a_id").as("doc_id"))
         .union(cand.select(col("b_id"))).distinct()
-      val sd = snapPart("jac-sdist", shinglesOf(
+      val sd = shinglesOf(
         t(s, d, "documents").join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      ).distinct())
-      val sizes = sd.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val sa = sd.select(col("doc_id").as("sa_id"), col("s").as("sa_s"))
-      val sb = sd.select(col("doc_id").as("sb_id"), col("s").as("sb_s"))
-      val inter = cand
-        .join(sa, col("a_id") === col("sa_id"))
-        .join(sb, col("b_id") === col("sb_id") && col("sa_s") === col("sb_s"))
-        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      val za = sizes.select(col("doc_id").as("za_id"), col("nsh").as("na"))
-      val zb = sizes.select(col("doc_id").as("zb_id"), col("nsh").as("nb"))
-      inter
-        .join(za, col("a_id") === col("za_id"))
-        .join(zb, col("b_id") === col("zb_id"))
+      ).distinct()
+      // r12 (VERDICT r11 #6): single-pass pair intersection. ONE aggregate
+      // builds the per-doc shingle SET (one row per candidate doc — the
+      // Admission shape) carrying its size; the pair verify is then two
+      // plain joins + `array_intersect` per pair, replacing the exploded
+      // double shingle join + per-pair count aggregate + two size joins
+      // (4 joins + 2 aggregates → 2 joins + 1 aggregate). Equivalence:
+      // `sd` is distinct per (doc_id, s), so size(collect_list) = the old
+      // per-doc count and size(array_intersect) = the old matched-shingle
+      // count; pairs with an empty intersection now survive to the filter
+      // with jac = 0 (< 0.5), dropped exactly as before. jac stays the
+      // same long/long double division.
+      // The checkpoint moved from the exploded shingle frame to the
+      // one-row-per-doc SET store: `sets` has two consumers (both join
+      // sides), so materializing it runs the semi-join + explode +
+      // distinct + collect ONCE; the old sd-checkpoint re-aggregated per
+      // side. The "jac-sdist" tag keeps pinning the semi-join-bounded
+      // pre-checkpoint subtree.
+      val sets = snapPart("jac-sdist", sd.groupBy("doc_id")
+        .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("nsh")))
+      val sa = sets.select(col("doc_id").as("a_id"),
+        col("sh").as("sha"), col("nsh").as("na"))
+      val sb = sets.select(col("doc_id").as("b_id"),
+        col("sh").as("shb"), col("nsh").as("nb"))
+      cand
+        .join(sa, Seq("a_id"))
+        .join(sb, Seq("b_id"))
+        .withColumn("inter",
+          size(array_intersect(col("sha"), col("shb"))).cast("long"))
         .select(col("a_id"), col("b_id"),
           (col("inter") / (col("na") + col("nb") - col("inter"))).as("jac"))
         .filter(col("jac") >= 0.5)
@@ -639,18 +655,21 @@ object Dedup extends QModule {
         t(s, d, "documents").join(broadcast(candDocs), Seq("doc_id"), "left_semi")
       ).distinct()
       val edist = esh.distinct()
-      val ez = edist.groupBy("doc_id").agg(count(lit(1)).as("ensh"))
-        .select(col("doc_id").as("ez_id"), col("ensh"))
-      val sz = sdist.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-        .select(col("doc_id").as("sz_id"), col("nsh"))
-      val ea = edist.select(col("doc_id").as("ea_id"), col("s").as("ea_s"))
-      val sb = sdist.select(col("doc_id").as("sb_id"), col("s").as("sb_s"))
-      val inter = cand
-        .join(ea, col("eval_id") === col("ea_id"))
-        .join(sb, col("doc_id") === col("sb_id") && col("ea_s") === col("sb_s"))
-        .groupBy("eval_id", "doc_id").agg(count(lit(1)).as("inter"))
-      inter.join(ez, col("eval_id") === col("ez_id"))
-        .join(sz, col("doc_id") === col("sz_id"))
+      // r12 single-pass verify (the q_dedup_jaccard form): per-doc
+      // shingle-set stores on both sides (each now read ONCE — no
+      // checkpoint needed), pair check via array_intersect. The tiny
+      // eval-side store stays a broadcast.
+      val esets = edist.groupBy("doc_id")
+        .agg(collect_list(col("s")).as("esh"), count(lit(1)).as("ensh"))
+        .select(col("doc_id").as("ea_id"), col("esh"), col("ensh"))
+      val ssets = sdist.groupBy("doc_id")
+        .agg(collect_list(col("s")).as("ssh"), count(lit(1)).as("nsh"))
+        .select(col("doc_id").as("sb_id"), col("ssh"), col("nsh"))
+      cand
+        .join(broadcast(esets), col("eval_id") === col("ea_id"))
+        .join(ssets, col("doc_id") === col("sb_id"))
+        .withColumn("inter",
+          size(array_intersect(col("esh"), col("ssh"))).cast("long"))
         .select(col("eval_id"), col("doc_id"),
           (col("inter") / (col("ensh") + col("nsh") - col("inter"))).as("jac"))
         .filter(col("jac") >= 0.5)
@@ -728,21 +747,27 @@ object Dedup extends QModule {
       // BEFORE the shingle explode (broadcast semi-join under Generate).
       val candDocs = cand.select(col("old_id").as("doc_id"))
         .union(cand.select(col("new_id").as("doc_id"))).distinct()
-      val sdist = snapPart("inc-sdist", shinglesOf(
+      val sdist = shinglesOf(
         t(s, d, "documents").join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      ).distinct()) // referenced 3× (sizes + both legs)
-      val sz = sdist.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val sa = sdist.select(col("doc_id").as("sa_id"), col("s").as("sa_s"))
-      val sb = sdist.select(col("doc_id").as("sb_id"), col("s").as("sb_s"))
-      val inter = cand
+      ).distinct()
+      // r12 single-pass verify (the q_dedup_jaccard form): ONE aggregate
+      // builds the per-doc shingle-set store (checkpointed — both join
+      // legs read it), and the pair check is array_intersect per
+      // candidate pair. Replaces the exploded shingle-equality join +
+      // per-pair count + two size joins; pairs with an empty intersection
+      // now reach the >= 0.5 filter with jac = 0 and drop exactly as
+      // before.
+      val sets = snapPart("inc-sdist", sdist.groupBy("doc_id")
+        .agg(collect_list(col("s")).as("sh"), count(lit(1)).as("nsh")))
+      val sa = sets.select(col("doc_id").as("sa_id"),
+        col("sh").as("sha"), col("nsh").as("na"))
+      val sb = sets.select(col("doc_id").as("sb_id"),
+        col("sh").as("shb"), col("nsh").as("nb"))
+      val verified = cand
         .join(sa, col("old_id") === col("sa_id"))
-        .join(sb, col("new_id") === col("sb_id") && col("sa_s") === col("sb_s"))
-        .groupBy("old_id", "new_id").agg(count(lit(1)).as("inter"))
-      val za = sz.select(col("doc_id").as("za_id"), col("nsh").as("na"))
-      val zb = sz.select(col("doc_id").as("zb_id"), col("nsh").as("nb"))
-      val verified = inter
-        .join(za, col("old_id") === col("za_id"))
-        .join(zb, col("new_id") === col("zb_id"))
+        .join(sb, col("new_id") === col("sb_id"))
+        .withColumn("inter",
+          size(array_intersect(col("sha"), col("shb"))).cast("long"))
         .where(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.5)
         .groupBy("new_id").agg(count(lit(1)).as("vd"))
       t(s, d, "documents")

@@ -1208,6 +1208,29 @@ class OperatorSpec extends SparkSpecBase {
       s"verify-side shingle explode not candidate-bounded:\n$ps")
   }
 
+  test("q_dedup_jaccard verifies pairs in one pass over the per-doc shingle-set store") {
+    // r12 (VERDICT r11 #6): the verify step is array_intersect over the
+    // one-row-per-doc shingle sets — two plain joins against the
+    // checkpointed set store, no exploded shingle-equality join and no
+    // per-pair count aggregate. The set store itself must stay
+    // candidate-bounded (semi-join below the explode) and aggregate ONCE.
+    val df = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("array_intersect"),
+      s"verify lost the single-pass set-intersection form:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"a per-pair aggregate reappeared after the set-store checkpoint:\n$p")
+    val sets = queries.Dedup.lastParts.get("jac-sdist")
+    assert(sets != null, "q_dedup_jaccard stopped recording the jac-sdist seam")
+    sets.collect()
+    val ps = sets.queryExecution.executedPlan.toString
+    assert(ps.contains("LeftSemi"),
+      s"set-store shingle explode not candidate-bounded:\n$ps")
+    assert(ps.contains("collect_list"),
+      s"set store lost the one-row-per-doc collect:\n$ps")
+  }
+
   test("q_dedup_incremental admits nothing from an empty corpus instead of NPE-ing") {
     // The construction-time threshold probe (1-row head(), r11) read
     // getLong on max(doc_id) — null on an EMPTY documents table (VERDICT
