@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.optimizer.FoldDotProduct)
     ext.injectOptimizerRule(_ => graft.optimizer.BitmapDistinct)
     ext.injectOptimizerRule(_ => graft.optimizer.DistinctThenCount)
+    // Runs in the same operator-optimization fixed point, so the
+    // single-distinct legs it produces immediately re-qualify for the
+    // two rules above.
+    ext.injectOptimizerRule(_ => graft.optimizer.MultiDistinctSplit)
     // Canonicalization-safe scans for graft-snapped checkpoints: restores
     // ReuseExchange over snap-rooted subtrees (fused Pregel supersteps) —
     // see org.apache.spark.sql.graft.SnapScanExec.

@@ -105,6 +105,10 @@ object BitmapDistinct extends Rule[LogicalPlan] {
             companions += ((al, ae))
           case _ => return None
         }
+      // constant padding (e.g. MultiDistinctSplit's typed-null slots,
+      // possibly collapsed into the Aggregate by CollapseProject) rides
+      // through the outer aggregate untouched
+      case Alias(e, _) if e.foldable => ()
       case _ => return None
     }
     val (distinctAlias, key) = distinctSlot.getOrElse(return None)
@@ -159,6 +163,7 @@ object BitmapDistinct extends Rule[LogicalPlan] {
         val merged = mergeFn(ae.aggregateFunction, partials(al).toAttribute)
           .getOrElse(return None) // unreachable — classified above
         Alias(merged, name)(exprId = al.exprId, qualifier = al.qualifier)
+      case al @ Alias(e, _) if e.foldable => al // constant padding
       case _ => return None // unreachable — classified above
     }
     Some(Aggregate(groupAttrs, outerAggs, inner))

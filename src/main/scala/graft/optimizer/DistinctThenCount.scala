@@ -69,6 +69,10 @@ object DistinctThenCount extends Rule[LogicalPlan] {
             slot = Some((al, ks))
           case _ => return None
         }
+      // constant padding (e.g. [[MultiDistinctSplit]]'s typed-null slots,
+      // possibly collapsed into the Aggregate by CollapseProject) rides
+      // through the outer aggregate untouched
+      case Alias(e, _) if e.foldable => ()
       case _ => return None // companions / other shapes fence
     }
     val (distinctAlias, keys) = slot.getOrElse(return None)
@@ -108,6 +112,7 @@ object DistinctThenCount extends Rule[LogicalPlan] {
             Count(keyAttrs), Complete, isDistinct = false, None,
             NamedExpression.newExprId),
           name)(exprId = al.exprId, qualifier = al.qualifier)
+      case al @ Alias(e, _) if e.foldable => al // constant padding
       case _ => return None // unreachable — classified above
     }
     Some(Aggregate(groupAttrs, outerAggs, inner))

@@ -21,6 +21,13 @@ object TimeSql {
     val spark = graft.Engine
       .builder("graft-timesql", s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — session confs for before/after rule
+    // probes (e.g. forcing a gated optimizer rule on the ×10 fixture).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     graft.Tables.register(spark, dir)
     for (r <- 1 to rounds) {
       val t0 = System.nanoTime()
