@@ -39,11 +39,22 @@ object SessionCache {
       .get(spark)(_ => new java.util.concurrent.ConcurrentHashMap[String, SparkSession]())
       .computeIfAbsent(key, _ => build)
 
+  /** Extra per-session release actions (e.g. [[graft.queries.Dedup]]'s
+    * plan-contract seam drops its recorded frames so they stop pinning
+    * the session and its lineage — ADVICE r11 #1). Registered once per
+    * owning object, run on every [[clear]].
+    */
+  private val clearHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[SparkSession => Unit]
+  def onClear(hook: SparkSession => Unit): Unit = clearHooks.add(hook)
+
   /** Unpersist and drop every memoized DF of this session. */
-  def clear(spark: SparkSession): Unit =
+  def clear(spark: SparkSession): Unit = {
     sessions.remove(spark).foreach { st =>
       if (!spark.sparkContext.isStopped) st.values().forEach(df => df.unpersist())
     }
+    clearHooks.forEach(h => h(spark))
+  }
 
   /** Live session-entry count (test observability). */
   private[graft] def liveSessions: Int = sessions.size

@@ -154,6 +154,13 @@ object Dedup extends QModule {
     */
   private[graft] val lastParts =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // The recorded frames are live DataFrames of whichever session ran the
+  // query last; without a release they pin that session and its lineage
+  // for the process lifetime (ADVICE r11 #1). SessionCache.clear — the
+  // teardown path Bench/Verify already call — drops this session's
+  // entries.
+  graft.SessionCache.onClear(s =>
+    lastParts.entrySet().removeIf(e => e.getValue.sparkSession eq s))
   private def snapPart(tag: String, df: DataFrame): DataFrame = {
     lastParts.put(tag, df)
     df.localCheckpoint()

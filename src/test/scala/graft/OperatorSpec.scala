@@ -1231,6 +1231,20 @@ class OperatorSpec extends SparkSpecBase {
       s"set store lost the one-row-per-doc collect:\n$ps")
   }
 
+  test("SessionCache.clear releases the Dedup plan-seam frames of that session") {
+    // ADVICE r11 #1: lastParts is process-global and held live DataFrames
+    // forever, pinning the last session and its lineage. The clear hook
+    // must drop exactly the cleared session's entries.
+    import scala.jdk.CollectionConverters._
+    val ns = spark.newSession()
+    SparkEntry.queries("q_dedup_jaccard")(ns, sf).collect()
+    assert(queries.Dedup.lastParts.values().asScala.exists(_.sparkSession eq ns),
+      "the jaccard run did not record its seam frames")
+    SessionCache.clear(ns)
+    assert(!queries.Dedup.lastParts.values().asScala.exists(_.sparkSession eq ns),
+      "clear left seam frames pinning the cleared session")
+  }
+
   test("q_dedup_incremental admits nothing from an empty corpus instead of NPE-ing") {
     // The construction-time threshold probe (1-row head(), r11) read
     // getLong on max(doc_id) — null on an EMPTY documents table (VERDICT
